@@ -1,0 +1,261 @@
+"""SnapTable — an Iceberg-shaped snapshot/manifest table layer over Parquet.
+
+The sandbox ships no Iceberg/Delta jars, so the engine's "Iceberg tables"
+(north_rule) are provided by this from-scratch layer with the same semantic
+surface: atomic snapshot commits, MERGE, snapshot history + time travel,
+rollback, and per-snapshot summary metrics. The API is deliberately
+Iceberg-shaped so a real catalog can be slotted in on a production cluster.
+
+It replaces the reference's durability story — one JSON file per entity
+rewritten in place (DetailCrawler.php:888-949), a JSON tracking file rewritten
+at end of crawl (GCISCrawler.php:502-511), and periodic `git commit` as the
+checkpoint (crawl-details.php:245-291) — with proper table semantics.
+
+Scale design (what makes MERGE viable at 10^10 rows):
+
+- Data files are **hash-bucketed by key**: each commit writes files under
+  ``data/s{snapshot}/_bucket=K/``, with K = pmod(xxhash64(key), n_buckets)
+  recorded per file in the manifest.
+- MERGE is **bucket-pruned copy-on-write**: only buckets that actually
+  contain update keys are rewritten; all other data files are carried over
+  into the new snapshot untouched. An update batch touching B of N buckets
+  rewrites B/N of the table, not all of it.
+- The bucket id is derivable from the key (xxhash64), so it is never stored
+  as a data column — no storage overhead, and both sides of the MERGE join
+  are already co-partitioned by construction (repartition on the same
+  bucket expression), which keeps the join shuffle minimal.
+
+Layout:
+    {path}/manifests/snap-{id:012d}.json   one manifest per snapshot
+    {path}/data/s{id}/_bucket=K/*.parquet  immutable data files
+    {path}/_current                        atomic pointer (os.replace)
+
+Single-writer (the driver epoch loop) is assumed, matching the reference's
+single-process model; a production deployment would swap the pointer file
+for a catalog with atomic compare-and-swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        meta = self._read_meta()
+        self.key_cols: list[str] = meta["key_cols"]
+        self.n_buckets: int = meta["n_buckets"]
+        self.schema_ddl: str = meta["schema_ddl"]
+
+    # ---------- creation / metadata ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema_ddl: str,
+        key_cols: list[str],
+        n_buckets: int = 16,
+    ) -> "SnapTable":
+        path = path.rstrip("/")
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        meta = {"schema_ddl": schema_ddl, "key_cols": key_cols, "n_buckets": n_buckets}
+        SnapTable._atomic_write(os.path.join(path, "_meta.json"), json.dumps(meta))
+        SnapTable._atomic_write(os.path.join(path, "_current"), "-1")
+        return SnapTable(spark, path)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_meta.json"))
+
+    @staticmethod
+    def _atomic_write(dest: str, content: str) -> None:
+        tmp = f"{dest}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, dest)
+
+    def _read_meta(self) -> dict:
+        with open(os.path.join(self.path, "_meta.json")) as f:
+            return json.load(f)
+
+    # ---------- snapshots ----------
+
+    def current_snapshot_id(self) -> int:
+        with open(os.path.join(self.path, "_current")) as f:
+            return int(f.read().strip())
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, "manifests", f"snap-{snapshot_id:012d}.json")
+
+    def _load_manifest(self, snapshot_id: int) -> dict:
+        with open(self._manifest_path(snapshot_id)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot history, oldest first (metadata only, no file lists)."""
+        out = []
+        sid = self.current_snapshot_id()
+        while sid >= 0:
+            m = self._load_manifest(sid)
+            out.append({k: m[k] for k in ("snapshot_id", "parent_id", "ts", "operation", "summary")})
+            sid = m["parent_id"]
+        return list(reversed(out))
+
+    # ---------- key bucketing ----------
+
+    def _bucket_expr(self):
+        key = (
+            F.col(self.key_cols[0])
+            if len(self.key_cols) == 1
+            else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in self.key_cols])
+        )
+        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
+
+    # ---------- read ----------
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid < 0:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        files = [f["path"] for f in self._load_manifest(sid)["files"]]
+        if not files:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        return self.spark.read.schema(self.schema_ddl).parquet(
+            *[os.path.join(self.path, p) for p in files]
+        )
+
+    def is_empty(self) -> bool:
+        sid = self.current_snapshot_id()
+        return sid < 0 or not self._load_manifest(sid)["files"]
+
+    # ---------- write paths ----------
+
+    def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+        """Write df bucketed by key; return manifest file entries."""
+        dest = os.path.join(self.path, "data", f"s{snapshot_id}")
+        (
+            df.withColumn("_bucket", self._bucket_expr())
+            .repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+        entries = []
+        for bdir in sorted(os.listdir(dest)):
+            if not bdir.startswith("_bucket="):
+                continue
+            bucket = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(dest, bdir))):
+                if fn.endswith(".parquet"):
+                    rel = os.path.join("data", f"s{snapshot_id}", bdir, fn)
+                    entries.append({"path": rel, "bucket": bucket})
+        return entries
+
+    def _commit(
+        self, operation: str, files: list[dict], summary: dict | None
+    ) -> int:
+        parent = self.current_snapshot_id()
+        sid = parent + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "ts": time.time(),
+            "operation": operation,
+            "schema_ddl": self.schema_ddl,
+            "summary": summary or {},
+            "files": files,
+        }
+        self._atomic_write(self._manifest_path(sid), json.dumps(manifest))
+        self._atomic_write(os.path.join(self.path, "_current"), str(sid))
+        return sid
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        parent = self.current_snapshot_id()
+        prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
+        sid = parent + 1
+        new_files = self._write_data_files(df.select(*self._cols()), sid)
+        return self._commit("append", prev_files + new_files, summary)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        sid = self.current_snapshot_id() + 1
+        new_files = self._write_data_files(df.select(*self._cols()), sid)
+        return self._commit("overwrite", new_files, summary)
+
+    def _cols(self) -> list[str]:
+        return [f.name for f in self.spark.createDataFrame([], self.schema_ddl).schema.fields]
+
+    # ---------- MERGE (bucket-pruned copy-on-write) ----------
+
+    def merge(
+        self,
+        updates: DataFrame,
+        summary: dict | None = None,
+        delete: bool = False,
+    ) -> int:
+        """Upsert ``updates`` by key (or delete their keys if ``delete``).
+
+        Matched rows: field overlay, update wins per non-key column when its
+        value is non-null (reference semantics: new value wins even when it
+        is an empty string — crawl-others.php:186-204; an *absent* field is
+        a NULL here and keeps the old value).
+        Unmatched update rows: inserted. Untouched buckets: carried over.
+        """
+        parent = self.current_snapshot_id()
+        prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
+
+        updates = updates.select(*(self._cols() if not delete else self.key_cols))
+        upd = updates.withColumn("_bucket", self._bucket_expr())
+        touched = sorted(
+            r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+        )
+        touched_set = set(touched)
+        keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
+        hit_files = [f for f in prev_files if f["bucket"] in touched_set]
+
+        if hit_files:
+            old = self.spark.read.schema(self.schema_ddl).parquet(
+                *[os.path.join(self.path, f["path"]) for f in hit_files]
+            )
+        else:
+            old = self.spark.createDataFrame([], self.schema_ddl)
+
+        if delete:
+            merged = old.join(updates.select(*self.key_cols), on=self.key_cols, how="left_anti")
+            op = "delete"
+        else:
+            non_key = [c for c in self._cols() if c not in self.key_cols]
+            o = old.alias("o")
+            u = updates.alias("u")
+            merged = o.join(u, on=self.key_cols, how="full_outer").select(
+                *[F.coalesce(F.col(f"o.{k}"), F.col(f"u.{k}")).alias(k) for k in self.key_cols],
+                *[F.coalesce(F.col(f"u.{c}"), F.col(f"o.{c}")).alias(c) for c in non_key],
+            )
+            op = "merge"
+
+        sid = parent + 1
+        new_files = self._write_data_files(merged, sid)
+        return self._commit(op, keep_files + new_files, summary)
+
+    # ---------- maintenance ----------
+
+    def rollback(self, snapshot_id: int) -> None:
+        if not os.path.exists(self._manifest_path(snapshot_id)):
+            raise ValueError(f"no snapshot {snapshot_id}")
+        self._atomic_write(os.path.join(self.path, "_current"), str(snapshot_id))
+
+    def compact(self, summary: dict | None = None) -> int:
+        """Rewrite the current snapshot into one fresh file set per bucket
+        (collapses append accumulation; analog of small-file compaction)."""
+        return self.overwrite(self.read(), summary={**(summary or {}), "compaction": True})

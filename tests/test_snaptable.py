@@ -1,0 +1,116 @@
+"""SnapTable semantics: append/merge/delete/time-travel/rollback + the
+reference's field-overlay rule (new wins even when empty string, absent=NULL
+keeps old — crawl-others.php:186-204, crawl-temple.php:126-135)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biz_crawlers_spark.tables.snaptable import SnapTable
+
+DDL = "id string, name string, addr string, amount long"
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return SnapTable.create(spark, str(tmp_path / "t"), DDL, key_cols=["id"], n_buckets=4)
+
+
+def _rows(df):
+    return sorted((r["id"], r["name"], r["addr"], r["amount"]) for r in df.collect())
+
+
+def test_empty_read(tbl):
+    assert tbl.read().count() == 0
+    assert tbl.current_snapshot_id() == -1
+
+
+def test_append_and_time_travel(tbl, spark):
+    df1 = spark.createDataFrame([("00000001", "a", "x", 1)], DDL)
+    s1 = tbl.append(df1, {"n": 1})
+    df2 = spark.createDataFrame([("00000002", "b", "y", 2)], DDL)
+    s2 = tbl.append(df2, {"n": 1})
+    assert tbl.read().count() == 2
+    assert tbl.read(snapshot_id=s1).count() == 1
+    hist = tbl.snapshots()
+    assert [h["snapshot_id"] for h in hist] == [s1, s2]
+    assert all(h["operation"] == "append" for h in hist)
+
+
+def test_merge_upsert_and_overlay(tbl, spark):
+    tbl.append(
+        spark.createDataFrame(
+            [("00000001", "old-name", "old-addr", 10), ("00000002", "keep", "keep-addr", 20)], DDL
+        )
+    )
+    # update 1: new name (non-null wins), addr explicitly empty string (still wins),
+    # amount NULL (absent → old kept); insert a brand-new key
+    upd = spark.createDataFrame(
+        [("00000001", "new-name", "", None), ("00000003", "ins", "i-addr", 30)], DDL
+    )
+    tbl.merge(upd)
+    got = _rows(tbl.read())
+    assert got == [
+        ("00000001", "new-name", "", 10),
+        ("00000002", "keep", "keep-addr", 20),
+        ("00000003", "ins", "i-addr", 30),
+    ]
+
+
+def test_merge_bucket_pruning(tbl, spark):
+    base = spark.createDataFrame([(f"{i:08d}", f"n{i}", "a", i) for i in range(40)], DDL)
+    tbl.append(base)
+    parent_files = tbl._load_manifest(tbl.current_snapshot_id())["files"]
+    upd = spark.createDataFrame([("00000000", "upd", "a", 0)], DDL)
+    tbl.merge(upd)
+    new_manifest = tbl._load_manifest(tbl.current_snapshot_id())["files"]
+    carried = [f for f in new_manifest if f in parent_files]
+    # the single-key update touches exactly one bucket; the other 3 buckets'
+    # files must be carried over untouched (bucket-pruned copy-on-write)
+    touched_buckets = {f["bucket"] for f in new_manifest if f not in parent_files}
+    assert touched_buckets == {
+        f["bucket"] for f in parent_files if f["bucket"] in touched_buckets
+    }
+    assert len(carried) >= 1
+    assert tbl.read().count() == 40
+    assert _rows(tbl.read().filter(F.col("id") == "00000000"))[0][1] == "upd"
+
+
+def test_delete_and_rollback(tbl, spark):
+    tbl.append(spark.createDataFrame([(f"{i:08d}", "n", "a", i) for i in range(10)], DDL))
+    keep_sid = tbl.current_snapshot_id()
+    tbl.merge(spark.createDataFrame([("00000003",)], "id string"), delete=True)
+    assert tbl.read().count() == 9
+    assert tbl.read().filter(F.col("id") == "00000003").count() == 0
+    tbl.rollback(keep_sid)
+    assert tbl.read().count() == 10
+
+
+def test_compact(tbl, spark):
+    for i in range(5):
+        tbl.append(spark.createDataFrame([(f"{i:08d}", "n", "a", i)], DDL))
+    n_before = len(tbl._load_manifest(tbl.current_snapshot_id())["files"])
+    tbl.compact()
+    n_after = len(tbl._load_manifest(tbl.current_snapshot_id())["files"])
+    assert n_after <= 4  # one file per non-empty bucket
+    assert n_after < n_before
+    assert tbl.read().count() == 5
+
+
+def test_reopen_from_disk(tbl, spark, tmp_path):
+    tbl.append(spark.createDataFrame([("00000001", "a", "x", 1)], DDL))
+    t2 = SnapTable(spark, str(tmp_path / "t"))
+    assert t2.read().count() == 1
+    assert t2.key_cols == ["id"]
+    assert SnapTable.exists(str(tmp_path / "t"))
+    assert not SnapTable.exists(str(tmp_path / "nope"))
+
+
+def test_atomic_pointer(tbl, spark, tmp_path):
+    tbl.append(spark.createDataFrame([("00000001", "a", "x", 1)], DDL))
+    cur = os.path.join(str(tmp_path / "t"), "_current")
+    with open(cur) as f:
+        assert f.read().strip() == "0"
