@@ -1,0 +1,218 @@
+"""Sharded Bloom filter for URL-seen dedup at 10^10-key scale (north_rule).
+
+Replaces the reference's seen-set — a JSON tracking file loaded fully into
+memory per run (GCISCrawler.php:484-511) — with a structure that scales:
+
+- the bit space is split into ``n_shards`` shards; a key's shard is
+  ``pmod(url_key, n_shards)``, so each executor task needs only its own
+  shard's bits (at 10^10 keys / 1% FPP the total filter is ~12 GB — never
+  broadcast; shards are read by the tasks that own them)
+- membership test + insert are numpy bit ops over whole Arrow batches
+  (``np.bitwise_or.at`` / gather), no per-row Python
+- k index positions come from double hashing: h1/h2 derived from the key by
+  splitmix64 (Steele et al., "Fast Splittable Pseudorandom Number
+  Generators", OOPSLA'14), pos_i = (h1 + i·h2) mod m
+- persistence is versioned npy shard files + an atomic pointer, committed in
+  lockstep with the epoch snapshot (the Bloom state is part of the
+  checkpoint; resumable like everything else)
+- Bloom guarantees no false negatives; the engine uses it as a prefilter and
+  runs the exact anti-join only on Bloom-positives (SURVEY.md §4.1), so the
+  end-to-end dedup is exact. Deletions (checkpoint repair D6) fall back to
+  the cuckoo filter (filters/cuckoo.py).
+
+Spark integration keeps everything co-partitioned by shard: one shuffle on
+(shard), then applyInPandas groups load/update exactly one shard file each.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    with np.errstate(over="ignore"):
+        z = (x + _GOLDEN).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _SM_C1
+        z = (z ^ (z >> np.uint64(27))) * _SM_C2
+        return z ^ (z >> np.uint64(31))
+
+
+def _positions(keys: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing."""
+    u = keys.astype(np.int64).view(np.uint64)
+    h1 = splitmix64(u)
+    h2 = splitmix64(u ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomShards:
+    """Versioned on-disk sharded Bloom filter.
+
+    Layout: {path}/_meta.json, {path}/_current, {path}/v{n}/shard-{s}.npy
+    """
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        with open(os.path.join(self.path, "_meta.json")) as f:
+            meta = json.load(f)
+        self.n_shards: int = meta["n_shards"]
+        self.m_bits: int = meta["m_bits"]
+        self.k: int = meta["k"]
+
+    @staticmethod
+    def create(path: str, n_shards: int = 16, m_bits: int = 1 << 20, k: int = 7) -> "BloomShards":
+        path = path.rstrip("/")
+        os.makedirs(os.path.join(path, "v0"), exist_ok=True)
+        empty = np.zeros(m_bits // 8, dtype=np.uint8)
+        for s in range(n_shards):
+            np.save(os.path.join(path, "v0", f"shard-{s}.npy"), empty)
+        tmp = os.path.join(path, f"_meta.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": n_shards, "m_bits": m_bits, "k": k}, f)
+        os.replace(tmp, os.path.join(path, "_meta.json"))
+        BloomShards._write_pointer(path, 0)
+        return BloomShards(path)
+
+    @staticmethod
+    def _write_pointer(path: str, version: int) -> None:
+        tmp = os.path.join(path, f"_current.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(path, "_current"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.path, "_current")) as f:
+            return int(f.read().strip())
+
+    def _shard_file(self, version: int, s: int) -> str:
+        return os.path.join(self.path, f"v{version}", f"shard-{s}.npy")
+
+    def shard_of(self, keys: np.ndarray) -> np.ndarray:
+        r = keys.astype(np.int64) % self.n_shards
+        return np.where(r < 0, r + self.n_shards, r)
+
+    # ---------- local (simulator / small-scale) API ----------
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership over current version (loads needed shards)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        out = np.zeros(len(keys), dtype=bool)
+        ver = self.current_version()
+        shards = self.shard_of(keys)
+        for s in np.unique(shards):
+            mask = shards == s
+            bits = np.load(self._shard_file(ver, int(s)))
+            pos = _positions(keys[mask], self.k, self.m_bits)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out[mask] = hit.all(axis=1)
+        return out
+
+    def add(self, keys: np.ndarray) -> int:
+        """Local add (new version). Returns the new version id."""
+        keys = np.asarray(keys, dtype=np.int64)
+        ver = self.current_version()
+        new = ver + 1
+        os.makedirs(os.path.join(self.path, f"v{new}"), exist_ok=True)
+        shards = self.shard_of(keys)
+        touched = set(int(s) for s in np.unique(shards))
+        for s in range(self.n_shards):
+            src = self._shard_file(ver, s)
+            dst = self._shard_file(new, s)
+            if s in touched:
+                bits = np.load(src).copy()
+                ks = keys[shards == s]
+                pos = _positions(ks, self.k, self.m_bits)
+                np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+                np.save(dst, bits)
+            else:
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copyfile(src, dst)
+        self._write_pointer(self.path, new)
+        return new
+
+    # ---------- Spark API (co-partitioned by shard) ----------
+
+    def prefilter_spark(self, df: DataFrame, key_col: str = "url_key") -> DataFrame:
+        """df + boolean ``maybe_seen``. One shuffle on shard; each task reads
+        only its shard's bits. Bloom-negatives are guaranteed-new."""
+        path, k, m_bits, n_shards = self.path, self.k, self.m_bits, self.n_shards
+        ver = self.current_version()
+        cols = df.columns
+        # fresh StructType — .add() would mutate the DataFrame's cached schema
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+
+        def _check(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            s = int(keys[0] % n_shards)
+            s = s + n_shards if s < 0 else s
+            bits = np.load(os.path.join(path, f"v{ver}", f"shard-{s}.npy"))
+            pos = _positions(keys, k, m_bits)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out = pdf[cols].copy()
+            out["maybe_seen"] = hit.all(axis=1)
+            return out
+
+        shard_col = F.pmod(F.col(key_col), F.lit(n_shards))
+        # groupBy(shard) is the single shuffle; each group touches one shard file
+        return df.groupBy(shard_col.alias("_shard")).applyInPandas(
+            lambda key, pdf: _check(pdf), schema=schema
+        )
+
+    def add_spark(self, df: DataFrame, key_col: str = "url_key") -> int:
+        """Distributed insert: shuffle keys to their shard, each task rewrites
+        exactly one shard file into version v+1; untouched shards hardlinked;
+        pointer committed by the driver (atomic)."""
+        path, k, m_bits, n_shards = self.path, self.k, self.m_bits, self.n_shards
+        ver = self.current_version()
+        new = ver + 1
+        os.makedirs(os.path.join(path, f"v{new}"), exist_ok=True)
+
+        def _update(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            s = int(keys[0] % n_shards)
+            s = s + n_shards if s < 0 else s
+            bits = np.load(os.path.join(path, f"v{ver}", f"shard-{s}.npy")).copy()
+            pos = _positions(keys, k, m_bits)
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            tmp = os.path.join(path, f"v{new}", f".tmp-{uuid.uuid4().hex}-shard-{s}.npy")
+            np.save(tmp, bits)
+            os.replace(tmp, os.path.join(path, f"v{new}", f"shard-{s}.npy"))
+            return pd.DataFrame({"shard": [s], "n": [len(keys)]})
+
+        shard_col = F.pmod(F.col(key_col), F.lit(n_shards))
+        touched = (
+            df.select(key_col)
+            .groupBy(shard_col.alias("_shard"))
+            .applyInPandas(lambda key, pdf: _update(pdf), schema="shard int, n long")
+            .collect()
+        )
+        touched_set = {r["shard"] for r in touched}
+        for s in range(n_shards):
+            if s not in touched_set:
+                src, dst = self._shard_file(ver, s), self._shard_file(new, s)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copyfile(src, dst)
+        self._write_pointer(self.path, new)
+        return new

@@ -1,0 +1,123 @@
+"""Cuckoo filter — the deletable URL-seen variant (north_rule fallback).
+
+Why it exists: the reference's checkpoint-repair path *removes* entries from
+the seen set when their payloads are missing (GCISCrawler.php:534-603, D6 in
+SURVEY.md §2.3). A Bloom filter cannot delete; a cuckoo filter can
+(Fan et al., "Cuckoo Filter: Practically Better Than Bloom", CoNEXT'14).
+
+Design: 4-slot buckets of 16-bit fingerprints (0 = empty slot), partial-key
+cuckoo hashing — alt bucket i2 = i1 XOR hash(fp), so either bucket is
+computable from the other plus the fingerprint. Bucket count is a power of
+two. Lookups are numpy-vectorized over whole batches; inserts/deletes are
+per-key (they mutate state) but only run on the small repair/commit paths,
+never in the per-URL hot loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from biz_crawlers_spark.filters.bloom import splitmix64
+
+_FP_MIX = np.uint64(0x5BD1E995)
+
+
+class CuckooFilter:
+    def __init__(self, n_buckets: int = 1 << 16, bucket_size: int = 4, max_kicks: int = 500,
+                 seed: int = 42, table: np.ndarray | None = None):
+        if n_buckets & (n_buckets - 1):
+            raise ValueError("n_buckets must be a power of two")
+        self.n_buckets = n_buckets
+        self.bucket_size = bucket_size
+        self.max_kicks = max_kicks
+        self.rng = np.random.Generator(np.random.PCG64(seed))
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        )
+
+    # ---------- hashing ----------
+
+    def _fp_and_index(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = np.asarray(keys, dtype=np.int64).view(np.uint64)
+        h = splitmix64(u)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty-slot marker
+        i1 = (splitmix64(u ^ np.uint64(0xC0FFEE)) & np.uint64(self.n_buckets - 1)).astype(
+            np.int64
+        )
+        return fp, i1
+
+    def _alt(self, i: np.ndarray | int, fp: np.ndarray | int) -> np.ndarray | int:
+        with np.errstate(over="ignore"):
+            mix = splitmix64(np.asarray(fp, dtype=np.uint64) * _FP_MIX)
+        return (np.asarray(i, dtype=np.uint64) ^ mix).astype(np.int64) & (self.n_buckets - 1)
+
+    # ---------- ops ----------
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        fp, i1 = self._fp_and_index(keys)
+        i2 = self._alt(i1, fp)
+        t = self.table
+        return ((t[i1] == fp[:, None]).any(axis=1)) | ((t[i2] == fp[:, None]).any(axis=1))
+
+    def _insert_one(self, fp: int, i1: int) -> bool:
+        for idx in (i1, int(self._alt(i1, fp))):
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # evict loop
+        idx = i1 if self.rng.integers(2) else int(self._alt(i1, fp))
+        for _ in range(self.max_kicks):
+            slot = int(self.rng.integers(self.bucket_size))
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            idx = int(self._alt(idx, fp))
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table full
+
+    def add(self, keys: np.ndarray) -> int:
+        """Insert keys (idempotent-ish: skips keys already present).
+        Returns number actually inserted; raises if the table is full."""
+        keys = np.asarray(keys, dtype=np.int64)
+        fps, i1s = self._fp_and_index(keys)
+        n = 0
+        present = self.contains(keys)
+        for j in range(len(keys)):
+            if present[j]:
+                continue
+            if not self._insert_one(int(fps[j]), int(i1s[j])):
+                raise RuntimeError("cuckoo filter full — grow n_buckets")
+            n += 1
+        return n
+
+    def delete(self, keys: np.ndarray) -> int:
+        """Remove keys (one fingerprint copy each). Returns number removed."""
+        keys = np.asarray(keys, dtype=np.int64)
+        fps, i1s = self._fp_and_index(keys)
+        n = 0
+        for j in range(len(keys)):
+            fp = fps[j]
+            for idx in (int(i1s[j]), int(self._alt(int(i1s[j]), int(fp)))):
+                slots = np.flatnonzero(self.table[idx] == fp)
+                if len(slots):
+                    self.table[idx, slots[0]] = 0
+                    n += 1
+                    break
+        return n
+
+    # ---------- persistence ----------
+
+    def save(self, path: str) -> None:
+        np.save(path, self.table)
+
+    @staticmethod
+    def load(path: str, **kw) -> "CuckooFilter":
+        table = np.load(path)
+        return CuckooFilter(n_buckets=table.shape[0], bucket_size=table.shape[1], table=table, **kw)

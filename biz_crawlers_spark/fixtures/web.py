@@ -1,0 +1,245 @@
+"""The deterministic "virtual web" served to the fetch stage in tests/bench.
+
+Every page is a pure function of (seed, url, attempt) — no corpus needs to be
+generated or shipped to executors, which is what lets the bench run 10^6+
+frontier URLs with zero input I/O and lets the pure-Python reference
+simulator see the exact same web as the Spark engine.
+
+URL grammar mirrors the reference's enumeration (synthetic codes, not the
+reference's data):
+
+- company reports:  https://{host}/report?fileName={yyymm}{org}{type}.pdf&subPath={yyymm}
+  (filename grammar of GCISCrawler.php:120-141)
+- business reports: https://{host}/report?fileName={org}{type}{yyymm}.pdf&subPath={yyymm}
+  (GCISCrawler.php:305-319 — note the swapped filename order)
+- school list:      https://{host}/school_list?pages={n}  (SchoolCrawler.php:47-50),
+  paginated until an empty page terminates the crawl (SchoolCrawler.php:19-43)
+- a seeded fraction of report URLs live under /blocked/… which host h1's
+  robots.txt disallows (new surface per north_rule P8)
+
+Sentinel behavior mirrors DetailCrawler.php:
+- throttle page (本系統限制使用者間隔2秒鐘才能進行下一次查詢, :162) on the first
+  attempt for a seeded subset; success on retry
+- not-found page (很抱歉，我們無法找到符合條件的查詢結果。, :170) — permanent
+- junk page < 1000 bytes (:194-196) — permanent → retries then failure
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass
+from urllib.parse import parse_qs, urlsplit
+
+from biz_crawlers_spark.fixtures.images import make_image
+from biz_crawlers_spark.hashing import spark_xxhash64
+
+N_ORGS = 14  # 14 orgs × 3 types for companies (GCISCrawler.php:95-116, :13-17)
+N_AREAS = 25  # 25 areas × 3 types for businesses (GCISCrawler.php:221-255)
+ORG_CODES = [f"O{i:02d}" for i in range(N_ORGS)]
+AREA_CODES = [f"A{i:02d}" for i in range(N_AREAS)]
+REPORT_TYPES = ["est", "chg", "dis"]  # establishments / changes / dissolutions
+
+THROTTLE_SENTINEL = "本系統限制使用者間隔2秒鐘才能進行下一次查詢"
+NOT_FOUND_SENTINEL = "很抱歉，我們無法找到符合條件的查詢結果。"
+
+THROTTLE_MOD = 17  # throttled on attempt 0
+NOT_FOUND_MOD = 23  # permanent not-found
+JUNK_MOD = 29  # permanent <1000-byte page
+BLOCKED_MOD = 31  # path under /blocked/ (robots-disallowed on h1)
+
+
+def hosts(n_hosts: int = 4) -> list[str]:
+    return [f"h{i}.fixture.test" for i in range(n_hosts)]
+
+
+def host_for(name: str, n_hosts: int = 4) -> str:
+    """Skewed host assignment: ~80% of URLs land on host 0 (FIXTURES.md §2) —
+    exercises the salted-repartition skew kill."""
+    r = spark_xxhash64(name) % 10
+    if r < 0:
+        r += 10
+    if r < 8 or n_hosts == 1:
+        return hosts(n_hosts)[0]
+    return hosts(n_hosts)[1 + (r - 8) % (n_hosts - 1)]
+
+
+@dataclass(frozen=True)
+class SeedURL:
+    url: str
+    org_idx: int
+    type_idx: int
+    page: int
+    priority: int
+    host: str
+
+
+def _report_url(fname: str, yyymm: str, n_hosts: int) -> tuple[str, str]:
+    host = host_for(fname, n_hosts)
+    fkey = spark_xxhash64(fname) % BLOCKED_MOD
+    path = "/blocked/report" if fkey == 0 else "/report"
+    return f"https://{host}{path}?fileName={fname}&subPath={yyymm}", host
+
+
+def company_seed(year: int, month: int, n_hosts: int = 4) -> list[SeedURL]:
+    """org-outer/type-inner enumeration order = the reference crawl order
+    (GCISCrawler.php:46-66: fixed array insertion order)."""
+    yyymm = f"{year:03d}{month:02d}"
+    out = []
+    for oi, org in enumerate(ORG_CODES):
+        for ti, typ in enumerate(REPORT_TYPES):
+            url, host = _report_url(f"{yyymm}{org}{typ}.pdf", yyymm, n_hosts)
+            out.append(SeedURL(url, oi, ti, 0, oi * len(REPORT_TYPES) + ti, host))
+    return out
+
+
+def business_seed(year: int, month: int, n_hosts: int = 4) -> list[SeedURL]:
+    yyymm = f"{year:03d}{month:02d}"
+    out = []
+    for ai, area in enumerate(AREA_CODES):
+        for ti, typ in enumerate(REPORT_TYPES):
+            url, host = _report_url(f"{area}{typ}{yyymm}.pdf", yyymm, n_hosts)
+            out.append(SeedURL(url, ai, ti, 0, ai * len(REPORT_TYPES) + ti, host))
+    return out
+
+
+def school_seed(n_hosts: int = 4) -> list[SeedURL]:
+    host = hosts(n_hosts)[0]
+    return [SeedURL(f"https://{host}/school_list?pages=1", 0, 0, 1, 0, host)]
+
+
+class FixtureWeb:
+    """Pure-function web: fetch(url, attempt) → {status, body}."""
+
+    def __init__(
+        self,
+        seed: int = 42,
+        n_hosts: int = 4,
+        school_pages: int = 5,
+        rows_per_school_page: int = 10,
+        max_images_per_page: int = 3,
+    ):
+        self.seed = seed
+        self.n_hosts = n_hosts
+        self.school_pages = school_pages
+        self.rows_per_school_page = rows_per_school_page
+        self.max_images = max_images_per_page
+
+    # ---------- robots ----------
+
+    def robots_txt(self, host: str) -> bytes | None:
+        """h1 disallows /blocked/; last host has no robots.txt (=> allow all);
+        everyone else fully permissive."""
+        hs = hosts(self.n_hosts)
+        if self.n_hosts > 1 and host == hs[1]:
+            return b"User-agent: *\nDisallow: /blocked/\n"
+        if host == hs[-1] and self.n_hosts > 2:
+            return None
+        return b"User-agent: *\nDisallow:\n"
+
+    # ---------- page synthesis ----------
+
+    @staticmethod
+    def _mod(key: int, m: int) -> int:
+        r = key % m
+        return r + m if r < 0 else r
+
+    def classify(self, url: str) -> str:
+        """Deterministic sentinel class of a URL (disjoint, precedence fixed)."""
+        key = spark_xxhash64(url)
+        if self._mod(key, NOT_FOUND_MOD) == 0:
+            return "not_found"
+        if self._mod(key, JUNK_MOD) == 0:
+            return "junk"
+        if self._mod(key, THROTTLE_MOD) == 0:
+            return "throttle_once"
+        return "ok"
+
+    def n_images_for(self, url: str) -> int:
+        if self.classify(url) != "ok":
+            return 0
+        return 1 + self._mod(spark_xxhash64(url) >> 8, self.max_images)
+
+    def entity_for(self, url: str) -> tuple[str, str, str]:
+        key = spark_xxhash64(url)
+        entity_id = f"{self._mod(key, 10**8):08d}"
+        entity_name = f"公司{self._mod(key >> 16, 10000):04d}"
+        q = parse_qs(urlsplit(url).query)
+        fname = q.get("fileName", [""])[0]
+        category = next((t for t in REPORT_TYPES if t in fname), "est")
+        return entity_id, entity_name, category
+
+    def images_for(self, url: str) -> list[dict]:
+        """The image records embedded in this URL's page — the golden truth
+        the engine's extraction must reproduce."""
+        entity_id, entity_name, category = self.entity_for(url)
+        key = spark_xxhash64(url)
+        return [
+            make_image(self.seed, key ^ (k * 0x9E3779B9), k, entity_name, entity_id, category)
+            for k in range(self.n_images_for(url))
+        ]
+
+    def _detail_page(self, url: str) -> bytes:
+        entity_id, entity_name, category = self.entity_for(url)
+        figs = []
+        for img in self.images_for(url):
+            b64 = base64.b64encode(img["bytes"]).decode("ascii")
+            figs.append(
+                f'<figure><img src="data:image/{img["fmt"]};base64,{b64}"/>'
+                f"<figcaption>{img['caption']}</figcaption></figure>"
+            )
+        rows = (
+            f"<tr><td>統一編號</td><td>{entity_id}</td></tr>"
+            f"<tr><td>公司名稱</td><td>{entity_name}</td></tr>"
+            f"<tr><td>核准變更日期</td><td>114年03月05日</td></tr>"
+            f"<tr><td>所營事業資料</td><td>F102030 餐館業 F203010 食品什貨</td></tr>"
+        )
+        html = (
+            f"<html><body><div id='tabCmpyContent'><table>{rows}</table></div>"
+            f"<div class='seals'>{''.join(figs)}</div>"
+            f"<p>category:{category}</p></body></html>"
+        )
+        pad = max(0, 1200 - len(html.encode("utf-8")))  # clear the 1000-byte gate
+        return (html + "<!--" + "x" * pad + "-->").encode("utf-8")
+
+    def _school_page(self, page: int) -> bytes:
+        if page > self.school_pages:
+            return "<html><body><table summary='訊息列表'></table></body></html>".encode("utf-8")
+        rows = []
+        for i in range(self.rows_per_school_page):
+            n = (page - 1) * self.rows_per_school_page + i
+            cls = "td_style01" if i % 2 == 0 else "td_style02"
+            rows.append(
+                f"<tr class='{cls}'><td>{n}</td><td>大專校院</td>"
+                f"<td>{(30000000 + n):08d}</td><td>學校{n:03d}</td></tr>"
+            )
+        return (
+            "<html><body><table summary='訊息列表'>" + "".join(rows) + "</table></body></html>"
+        ).encode("utf-8")
+
+    # ---------- fetch ----------
+
+    def fetch(self, url: str, attempt: int = 0) -> dict:
+        """Returns {status, body}; status ∈ ok|throttled|not_found|junk."""
+        u = urlsplit(url)
+        if u.path == "/robots.txt":
+            body = self.robots_txt((u.hostname or "").lower())
+            if body is None:
+                return {"status": "not_found", "body": b""}
+            return {"status": "ok", "body": body}
+        if u.path.endswith("/school_list"):
+            page = int(parse_qs(u.query).get("pages", ["1"])[0])
+            return {"status": "ok", "body": self._school_page(page)}
+        cls = self.classify(url)
+        if cls == "not_found":
+            return {
+                "status": "not_found",
+                "body": f"<html><body>{NOT_FOUND_SENTINEL}</body></html>".encode("utf-8"),
+            }
+        if cls == "junk":
+            return {"status": "junk", "body": b"<html><body>oops</body></html>"}
+        if cls == "throttle_once" and attempt == 0:
+            return {
+                "status": "throttled",
+                "body": f"<html><body>{THROTTLE_SENTINEL}</body></html>".encode("utf-8"),
+            }
+        return {"status": "ok", "body": self._detail_page(url)}

@@ -1,0 +1,102 @@
+"""Bloom no-false-negative property + FPP sanity; cuckoo insert/delete;
+Spark-side sharded prefilter/update (SURVEY.md §5.2.1, §5.2.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from biz_crawlers_spark.filters.bloom import BloomShards, splitmix64
+from biz_crawlers_spark.filters.cuckoo import CuckooFilter
+
+keys_st = st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=300, unique=True)
+
+
+@given(keys_st)
+@settings(max_examples=30, deadline=None)
+def test_bloom_no_false_negatives(tmp_path_factory, keys):
+    path = str(tmp_path_factory.mktemp("bloom"))
+    bf = BloomShards.create(path, n_shards=4, m_bits=1 << 14, k=5)
+    bf.add(np.array(keys, dtype=np.int64))
+    assert bf.contains(np.array(keys, dtype=np.int64)).all()
+
+
+def test_bloom_fpp_sane(tmp_path):
+    bf = BloomShards.create(str(tmp_path / "b"), n_shards=8, m_bits=1 << 17, k=7)
+    rng = np.random.default_rng(42)
+    inserted = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    bf.add(inserted)
+    probe = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    probe = np.setdiff1d(probe, inserted)
+    fpp = bf.contains(probe).mean()
+    assert fpp < 0.02, f"false positive rate {fpp:.4f} too high"
+
+
+def test_bloom_versioning_rollback_safe(tmp_path):
+    bf = BloomShards.create(str(tmp_path / "b"), n_shards=2, m_bits=1 << 12, k=4)
+    v0 = bf.current_version()
+    bf.add(np.array([1, 2, 3], dtype=np.int64))
+    assert bf.current_version() == v0 + 1
+    # old version files still exist (the epoch checkpoint can roll back)
+    old = BloomShards(str(tmp_path / "b"))
+    BloomShards._write_pointer(str(tmp_path / "b"), v0)
+    assert not old.contains(np.array([1, 2, 3], dtype=np.int64)).any()
+
+
+def test_bloom_spark_roundtrip(spark, tmp_path):
+    bf = BloomShards.create(str(tmp_path / "b"), n_shards=4, m_bits=1 << 14, k=5)
+    df = spark.range(0, 500).select((F.col("id") * 7919 - 250).alias("url_key"))
+    bf.add_spark(df, "url_key")
+    checked = bf.prefilter_spark(df, "url_key")
+    assert checked.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+    fresh = spark.range(10_000, 10_500).select(F.xxhash64("id").alias("url_key"))
+    fp = bf.prefilter_spark(fresh, "url_key").filter(F.col("maybe_seen")).count()
+    assert fp < 50  # loose FPP sanity on unseen keys
+
+
+def test_splitmix_distribution():
+    x = np.arange(100000, dtype=np.uint64)
+    h = splitmix64(x)
+    assert len(np.unique(h)) == len(h)
+    bits = np.unpackbits(h.view(np.uint8))
+    assert abs(bits.mean() - 0.5) < 0.01
+
+
+@given(keys_st)
+@settings(max_examples=30, deadline=None)
+def test_cuckoo_membership(keys):
+    cf = CuckooFilter(n_buckets=1 << 12)
+    ks = np.array(keys, dtype=np.int64)
+    cf.add(ks)
+    assert cf.contains(ks).all()
+
+
+def test_cuckoo_delete():
+    cf = CuckooFilter(n_buckets=1 << 12)
+    rng = np.random.default_rng(7)
+    ks = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    ks = np.unique(ks)
+    cf.add(ks)
+    drop, keep = ks[: len(ks) // 2], ks[len(ks) // 2 :]
+    cf.delete(drop)
+    assert cf.contains(keep).all(), "deletes must not evict other keys"
+    assert cf.contains(drop).mean() < 0.05  # residual = fingerprint collisions only
+
+
+def test_cuckoo_save_load(tmp_path):
+    cf = CuckooFilter(n_buckets=1 << 10)
+    ks = np.arange(100, dtype=np.int64) * 37
+    cf.add(ks)
+    p = str(tmp_path / "cf.npy")
+    cf.save(p)
+    cf2 = CuckooFilter.load(p)
+    assert cf2.contains(ks).all()
+
+
+def test_cuckoo_full_raises():
+    cf = CuckooFilter(n_buckets=4, bucket_size=2, max_kicks=20)
+    with pytest.raises(RuntimeError):
+        cf.add(np.arange(200, dtype=np.int64))
