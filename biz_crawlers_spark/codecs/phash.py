@@ -44,7 +44,10 @@ def phash64(img: np.ndarray) -> int:
     gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     small = _resize_area(gray, 32)
     d = _M32 @ small @ _M32.T
-    block = d[:8, :8].ravel()
+    # round before comparing: BLAS matmul results differ in the last ulp
+    # across processes/thread counts, which would flip bits that sit exactly
+    # on the median — the hash must be bit-identical driver vs executor
+    block = np.round(d[:8, :8].ravel(), 4)
     med = np.median(block)
     bits = block > med
     h = 0

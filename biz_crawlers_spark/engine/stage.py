@@ -1,0 +1,245 @@
+"""Fused fetch → classify → extract → decode stage (mapInPandas).
+
+One narrow (no-shuffle) stage does everything the reference does per URL
+(DetailCrawler.php:105-236 / GCISCrawler.php:118-208): politeness-scheduled
+fetch with in-place throttle/junk retries, sentinel classification, robots
+enforcement, figure extraction, image decode, record parsing, and pagination
+discovery. Fusing matters at scale: page bodies are never shuffled — only
+extracted image rows and small status rows leave the worker.
+
+Per-host ordering inside a partition follows the frontier order key, and the
+fetch stage is hash-partitioned BY HOST (engine/crawl.py), so per-host
+politeness is globally correct (one host is never split across partitions)
+and per-host crawl order reproduces the reference's sequential order
+(SURVEY.md §7: global order = merge of per-host orders).
+
+Retries are in-place (sleep-and-retry, mirroring P4-P6: throttle→retry
+DetailCrawler.php:162-168, transport backoff BaseCrawler.php:84-106) so a URL
+reaches a terminal state within its epoch; waiting is budget seconds scaled
+by ``budget.time_scale`` (0 ⇒ virtual time: identical schedule and order, no
+wall-clock sleeping — how tests/bench run).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Iterator
+from urllib.parse import parse_qs, urlsplit
+
+import pandas as pd
+
+from biz_crawlers_spark import codecs
+from biz_crawlers_spark.extract.pages import (
+    classify_page,
+    extract_figures,
+    parse_business_items,
+    parse_detail_fields,
+    parse_roc_date,
+    parse_school_rows,
+)
+from biz_crawlers_spark.fixtures.web import FixtureWeb
+from biz_crawlers_spark.politeness.budget import PolitenessBudget
+from biz_crawlers_spark.politeness.robots import is_allowed
+
+STAGE_DDL = (
+    "row_type string, url_key long, canonical_url string, host string, status string, "
+    "attempts int, host_seq long, partition_id int, scheduled_at double, "
+    "image_seq int, image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, entity_id string, entity_name string, "
+    "change_date string, biz_items string, category string, discovered_url string, "
+    "priority int"
+)
+
+_STAGE_COLS = [c.split(":")[0].strip().split(" ")[0] for c in STAGE_DDL.split(", ")]
+
+ORDER_SORT = ["priority", "org_idx", "type_idx", "page", "url_key"]
+
+TERMINAL_OK = ("ok", "not_found")
+
+
+_INT_COLS = {
+    "url_key": "Int64", "phash": "Int64", "host_seq": "Int64", "attempts": "Int32",
+    "partition_id": "Int32", "image_seq": "Int32", "w": "Int32", "h": "Int32",
+    "priority": "Int32",
+}
+
+
+def _to_frame(rows: list[dict]) -> pd.DataFrame:
+    """Exact-integer frame: building from dicts would let pandas infer
+    float64 for int columns containing None, silently destroying the low
+    bits of 64-bit hashes (float64 mantissa is 52 bits). Construct as
+    object, then cast to nullable Int64/Int32."""
+    pdf = pd.DataFrame(rows, columns=_STAGE_COLS, dtype=object)
+    for c, t in _INT_COLS.items():
+        pdf[c] = pdf[c].astype(t)
+    pdf["scheduled_at"] = pdf["scheduled_at"].astype("float64")
+    return pdf
+
+
+def _blank_row(**kw) -> dict:
+    row = {c: None for c in _STAGE_COLS}
+    row.update(kw)
+    return row
+
+
+def _decode_figures(body: bytes, url_key: int, host: str) -> list[dict]:
+    rows = []
+    for fig in extract_figures(body):
+        try:
+            pixels = codecs.decode(fig["bytes"], fig["fmt"])
+        except Exception:
+            continue  # warn-and-skip semantics (BaseCrawler.php:176-183)
+        rows.append(
+            _blank_row(
+                row_type="image",
+                url_key=url_key,
+                host=host,
+                image_seq=fig["seq"],
+                image_id=hashlib.sha256(fig["bytes"]).hexdigest()[:16],
+                bytes=fig["bytes"],
+                w=int(pixels.shape[1]),
+                h=int(pixels.shape[0]),
+                fmt=fig["fmt"],
+                caption=fig["caption"],
+                phash=codecs.phash64(pixels),
+            )
+        )
+    return rows
+
+
+def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
+    out = []
+    fields = parse_detail_fields(body)
+    if "統一編號" in fields:
+        roc = parse_roc_date(fields.get("核准變更日期", ""))
+        items = parse_business_items(fields.get("所營事業資料", ""))
+        cat = None
+        text = body.decode("utf-8", errors="replace")
+        if "category:" in text:
+            cat = text.split("category:", 1)[1].split("<", 1)[0]
+        out.append(
+            _blank_row(
+                row_type="record",
+                url_key=url_key,
+                host=host,
+                entity_id=fields["統一編號"].rjust(8, "0"),  # X16 zero-pad
+                entity_name=fields.get("公司名稱"),
+                change_date=f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
+                biz_items=json.dumps(items, ensure_ascii=False),
+                category=cat,
+            )
+        )
+    for cat, tax_id, name in parse_school_rows(body):
+        out.append(
+            _blank_row(
+                row_type="record",
+                url_key=url_key,
+                host=host,
+                entity_id=tax_id.rjust(8, "0"),
+                entity_name=name,
+                category=cat,
+                biz_items="[]",
+            )
+        )
+    return out
+
+
+def _discoveries(url: str, body: bytes, url_key: int, host: str, priority: int) -> list[dict]:
+    """Dynamic frontier growth (F4/S5): next school page iff rows found.
+    The discovered page inherits the parent's priority; its page number
+    breaks the tie — reproducing the reference's append-at-end-of-queue
+    sequencing (SchoolCrawler.php:32) under the engine's priority sort."""
+    u = urlsplit(url)
+    if not u.path.endswith("/school_list"):
+        return []
+    if not parse_school_rows(body):
+        return []
+    cur = int(parse_qs(u.query).get("pages", ["1"])[0])
+    nxt = f"{u.scheme}://{u.netloc}{u.path}?pages={cur + 1}"
+    return [
+        _blank_row(
+            row_type="discovered",
+            url_key=url_key,
+            host=host,
+            discovered_url=nxt,
+            priority=priority,
+        )
+    ]
+
+
+def make_stage(
+    web_params: dict,
+    budget: PolitenessBudget,
+    robots_rules: dict[str, list[str]],
+):
+    """Build the mapInPandas function. ``robots_rules``: host → parsed rules
+    (empty list = allow all); checked pre-fetch with a lineage-counted
+    robots_denied status (P8)."""
+
+    def stage(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        web = FixtureWeb(**web_params)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        host_clock: dict[str, float] = {}
+        host_seq: dict[str, int] = {}
+        wall_start = time.monotonic()
+
+        def wait_until(t_virtual: float) -> None:
+            if budget.time_scale > 0:
+                target = wall_start + t_virtual * budget.time_scale
+                gap = target - time.monotonic()
+                if gap > 0:
+                    time.sleep(gap)
+
+        for pdf in iterator:
+            out: list[dict] = []
+            pdf = pdf.sort_values(["host", *ORDER_SORT], kind="stable")
+            for host, g in pdf.groupby("host", sort=True):
+                t = host_clock.get(host, 0.0)
+                for row in g.itertuples(index=False):
+                    url = row.canonical_url
+                    if not is_allowed(url, robots_rules.get(host, [])):
+                        seq = host_seq.get(host, 0)
+                        host_seq[host] = seq + 1
+                        out.append(
+                            _blank_row(
+                                row_type="status", url_key=row.url_key,
+                                canonical_url=url, host=host, status="robots_denied",
+                                attempts=0, host_seq=seq, partition_id=pid,
+                                scheduled_at=t,
+                            )
+                        )
+                        continue
+                    status, body, attempts = "error", b"", 0
+                    for attempt in range(budget.max_retries + 1):
+                        t += budget.per_request_s
+                        wait_until(t)
+                        res = web.fetch(url, attempt=attempt)
+                        status = classify_page(res["status"], res["body"])
+                        body = res["body"]
+                        attempts = attempt + 1
+                        if status in TERMINAL_OK:
+                            break
+                        t += budget.retry_wait_s(attempt)  # P4/P5 backoff
+                    seq = host_seq.get(host, 0)
+                    host_seq[host] = seq + 1
+                    out.append(
+                        _blank_row(
+                            row_type="status", url_key=row.url_key, canonical_url=url,
+                            host=host, status=status, attempts=attempts, host_seq=seq,
+                            partition_id=pid, scheduled_at=t,
+                        )
+                    )
+                    if status == "ok":
+                        out.extend(_decode_figures(body, row.url_key, host))
+                        out.extend(_extract_record(body, row.url_key, host))
+                        out.extend(
+                            _discoveries(url, body, row.url_key, host, row.priority)
+                        )
+                host_clock[host] = t
+            yield _to_frame(out)
+
+    return stage

@@ -63,4 +63,7 @@ def make_image(seed: int, key: int, k: int, entity_name: str, entity_id: str, ca
         "fmt": fmt,
         "caption": caption,
         "phash": codecs.phash64(pixels),
+        # pre-encode golden pixels — the truth side of the PSNR≥40dB /
+        # exact-allclose invariant; never serialized into pages
+        "pixels": pixels,
     }

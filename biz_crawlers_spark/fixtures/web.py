@@ -80,31 +80,38 @@ def _report_url(fname: str, yyymm: str, n_hosts: int) -> tuple[str, str]:
     return f"https://{host}{path}?fileName={fname}&subPath={yyymm}", host
 
 
-def company_seed(year: int, month: int, n_hosts: int = 4) -> list[SeedURL]:
+def company_seed(year: int, month: int, n_hosts: int = 4, base_priority: int = 0) -> list[SeedURL]:
     """org-outer/type-inner enumeration order = the reference crawl order
-    (GCISCrawler.php:46-66: fixed array insertion order)."""
+    (GCISCrawler.php:46-66: fixed array insertion order). ``priority``
+    encodes that insertion order globally (base_priority separates seed
+    groups), which is what lets the engine's priority sort reproduce the
+    reference's sequential order per host (SURVEY.md §7)."""
     yyymm = f"{year:03d}{month:02d}"
     out = []
     for oi, org in enumerate(ORG_CODES):
         for ti, typ in enumerate(REPORT_TYPES):
             url, host = _report_url(f"{yyymm}{org}{typ}.pdf", yyymm, n_hosts)
-            out.append(SeedURL(url, oi, ti, 0, oi * len(REPORT_TYPES) + ti, host))
+            out.append(
+                SeedURL(url, oi, ti, 0, base_priority + oi * len(REPORT_TYPES) + ti, host)
+            )
     return out
 
 
-def business_seed(year: int, month: int, n_hosts: int = 4) -> list[SeedURL]:
+def business_seed(year: int, month: int, n_hosts: int = 4, base_priority: int = 0) -> list[SeedURL]:
     yyymm = f"{year:03d}{month:02d}"
     out = []
     for ai, area in enumerate(AREA_CODES):
         for ti, typ in enumerate(REPORT_TYPES):
             url, host = _report_url(f"{area}{typ}{yyymm}.pdf", yyymm, n_hosts)
-            out.append(SeedURL(url, ai, ti, 0, ai * len(REPORT_TYPES) + ti, host))
+            out.append(
+                SeedURL(url, ai, ti, 0, base_priority + ai * len(REPORT_TYPES) + ti, host)
+            )
     return out
 
 
-def school_seed(n_hosts: int = 4) -> list[SeedURL]:
+def school_seed(n_hosts: int = 4, base_priority: int = 0) -> list[SeedURL]:
     host = hosts(n_hosts)[0]
-    return [SeedURL(f"https://{host}/school_list?pages=1", 0, 0, 1, 0, host)]
+    return [SeedURL(f"https://{host}/school_list?pages=1", 0, 0, 1, base_priority, host)]
 
 
 class FixtureWeb:

@@ -1,0 +1,163 @@
+"""Pure-Python reference simulator — the crawl-parity oracle (SURVEY.md §5.2.2).
+
+A faithful reimplementation of the reference's *control flow* — strictly
+sequential iteration in seed insertion order (crawl-details.php:305-348,
+GCISCrawler.php:46-66), seen-check before fetch (D2), in-place
+throttle/junk retry with backoff (P4/P5: DetailCrawler.php:162-168,
+BaseCrawler.php:84-106), sentinel handling (X20), figure extraction and
+decode — with no Spark, no JVM, no parallelism.
+
+The engine must match it on:
+  - per-host crawl order (sequence of url_keys): the reference's single
+    global sequence restricted to one host equals the engine's per-host
+    order; the engine's global interleaving across hosts is the
+    parallelism (SURVEY.md §7)
+  - the final URL-seen set
+  - per-image decoded pixels (exact — both decode the same bytes) and
+    caption equality; PSNR ≥ 40 dB vs the pre-encode golden pixels for
+    lossy formats (BASELINE.json input_hint)
+  - lineage totals (fetched / deduped / failed / retried / robots_denied)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from biz_crawlers_spark import codecs
+from biz_crawlers_spark.extract.pages import (
+    classify_page,
+    extract_figures,
+    parse_business_items,
+    parse_detail_fields,
+    parse_roc_date,
+    parse_school_rows,
+)
+from biz_crawlers_spark.fixtures.web import FixtureWeb, SeedURL
+from biz_crawlers_spark.frontier.canonical import canonicalize, url_key
+from biz_crawlers_spark.politeness.budget import PolitenessBudget
+from biz_crawlers_spark.politeness.robots import is_allowed, parse_robots
+
+
+@dataclass
+class SimResult:
+    per_host_order: dict[str, list[int]] = field(default_factory=dict)
+    seen: set[int] = field(default_factory=set)
+    images: dict[str, dict] = field(default_factory=dict)  # image_id → record
+    records: dict[str, dict] = field(default_factory=dict)
+    counters: dict[str, int] = field(default_factory=dict)
+    statuses: dict[int, str] = field(default_factory=dict)  # url_key → terminal status
+
+
+class ReferenceSimulator:
+    def __init__(self, web: FixtureWeb, budget: PolitenessBudget):
+        self.web = web
+        self.budget = budget
+
+    def run(self, seeds: list[SeedURL]) -> SimResult:
+        r = SimResult(
+            counters={
+                "fetched": 0, "ok": 0, "deduped": 0, "failed": 0, "retried": 0,
+                "robots_denied": 0, "not_found": 0, "images": 0, "discovered": 0,
+            }
+        )
+        robots: dict[str, list[str]] = {}
+        queue: list[SeedURL] = list(seeds)
+        batch_seen: set[int] = set()
+        i = 0
+        while i < len(queue):
+            s = queue[i]
+            i += 1
+            cu = canonicalize(s.url)
+            key = url_key(s.url)
+            if key in r.seen or key in batch_seen:
+                r.counters["deduped"] += 1
+                continue
+            batch_seen.add(key)
+            host = s.host
+            if host not in robots:
+                res = self.web.fetch(f"https://{host}/robots.txt")
+                robots[host] = parse_robots(res["body"] if res["status"] == "ok" else None)
+            if not is_allowed(cu, robots[host]):
+                r.counters["robots_denied"] += 1
+                r.per_host_order.setdefault(host, []).append(key)
+                r.statuses[key] = "robots_denied"
+                continue
+            status, body = "error", b""
+            for attempt in range(self.budget.max_retries + 1):
+                res = self.web.fetch(cu, attempt=attempt)
+                status = classify_page(res["status"], res["body"])
+                body = res["body"]
+                if attempt > 0:
+                    r.counters["retried"] += 1
+                if status in ("ok", "not_found"):
+                    break
+            r.counters["fetched"] += 1
+            r.per_host_order.setdefault(host, []).append(key)
+            r.statuses[key] = status
+            if status == "not_found":
+                r.counters["not_found"] += 1
+                r.seen.add(key)
+                continue
+            if status != "ok":
+                r.counters["failed"] += 1
+                continue
+            r.counters["ok"] += 1
+            r.seen.add(key)
+            # figures → decoded images
+            for fig in extract_figures(body):
+                try:
+                    pixels = codecs.decode(fig["bytes"], fig["fmt"])
+                except Exception:
+                    continue
+                image_id = hashlib.sha256(fig["bytes"]).hexdigest()[:16]
+                r.images[image_id] = {
+                    "pixels": pixels,
+                    "caption": fig["caption"],
+                    "fmt": fig["fmt"],
+                    "bytes": fig["bytes"],
+                    "phash": codecs.phash64(pixels),
+                    "url_key": key,
+                }
+                r.counters["images"] += 1
+            # records
+            fields = parse_detail_fields(body)
+            if "統一編號" in fields:
+                roc = parse_roc_date(fields.get("核准變更日期", ""))
+                r.records[fields["統一編號"].rjust(8, "0")] = {
+                    "entity_name": fields.get("公司名稱"),
+                    "change_date": f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
+                    "biz_items": json.dumps(
+                        parse_business_items(fields.get("所營事業資料", "")),
+                        ensure_ascii=False,
+                    ),
+                }
+            for cat, tax_id, name in parse_school_rows(body):
+                r.records[tax_id.rjust(8, "0")] = {
+                    "entity_name": name, "change_date": None, "biz_items": "[]",
+                }
+            # pagination discovery (F4): append next page to the END of the
+            # queue — matches the engine's next-epoch scheduling
+            if "/school_list" in cu and parse_school_rows(body):
+                from urllib.parse import parse_qs, urlsplit
+
+                page = int(parse_qs(urlsplit(cu).query).get("pages", ["1"])[0])
+                nxt = f"https://{host}/school_list?pages={page + 1}"
+                queue.append(SeedURL(nxt, 0, 0, page + 1, 0, host))
+                r.counters["discovered"] += 1
+        return r
+
+
+def psnr_vs_golden(web: FixtureWeb, url: str, sim: SimResult) -> list[tuple[str, float]]:
+    """PSNR of each of ``url``'s decoded sim images vs the pre-encode golden
+    pixels (np.inf for lossless round-trips)."""
+    out = []
+    for g in web.images_for(url):
+        rec = sim.images.get(g["image_id"])
+        if rec is None:
+            continue
+        out.append((g["image_id"], codecs.psnr(g["pixels"], rec["pixels"])))
+    return out

@@ -203,18 +203,28 @@ class SnapTable:
         updates: DataFrame,
         summary: dict | None = None,
         delete: bool = False,
+        prefer: str = "new",
     ) -> int:
         """Upsert ``updates`` by key (or delete their keys if ``delete``).
 
         Matched rows: field overlay, update wins per non-key column when its
         value is non-null (reference semantics: new value wins even when it
         is an empty string — crawl-others.php:186-204; an *absent* field is
-        a NULL here and keeps the old value).
+        a NULL here and keeps the old value). ``updates`` may carry a subset
+        of columns; missing ones are treated as absent (NULL).
+        ``prefer="old"`` flips the overlay (insert-if-absent: existing rows
+        keep their values; update values only fill old NULLs).
         Unmatched update rows: inserted. Untouched buckets: carried over.
         """
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
 
+        if not delete:
+            ref = self.spark.createDataFrame([], self.schema_ddl)
+            have = set(updates.columns)
+            missing = [f for f in ref.schema.fields if f.name not in have]
+            for f in missing:
+                updates = updates.withColumn(f.name, F.lit(None).cast(f.dataType))
         updates = updates.select(*(self._cols() if not delete else self.key_cols))
         upd = updates.withColumn("_bucket", self._bucket_expr())
         touched = sorted(
@@ -238,9 +248,13 @@ class SnapTable:
             non_key = [c for c in self._cols() if c not in self.key_cols]
             o = old.alias("o")
             u = updates.alias("u")
+            first, second = ("u", "o") if prefer == "new" else ("o", "u")
             merged = o.join(u, on=self.key_cols, how="full_outer").select(
                 *[F.coalesce(F.col(f"o.{k}"), F.col(f"u.{k}")).alias(k) for k in self.key_cols],
-                *[F.coalesce(F.col(f"u.{c}"), F.col(f"o.{c}")).alias(c) for c in non_key],
+                *[
+                    F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c)
+                    for c in non_key
+                ],
             )
             op = "merge"
 

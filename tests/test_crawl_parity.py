@@ -1,0 +1,193 @@
+"""Crawl-parity: the Spark engine vs the pure-Python reference simulator
+(SURVEY.md §5.2.2, BASELINE.json north_rule invariants):
+
+  (a) identical per-host crawl order (sequence of url_keys),
+  (b) identical final URL-seen set,
+  (c) per-image decoded pixels exact vs simulator + PSNR ≥ 40 dB vs the
+      pre-encode golden pixels for lossy formats + caption equality,
+  (d) lineage totals account for every frontier row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biz_crawlers_spark import codecs
+from biz_crawlers_spark.engine.crawl import CrawlEngine
+from biz_crawlers_spark.fixtures.web import (
+    FixtureWeb,
+    business_seed,
+    company_seed,
+    school_seed,
+)
+from biz_crawlers_spark.politeness.budget import PolitenessBudget
+from biz_crawlers_spark.simulator.reference_sim import ReferenceSimulator
+
+WEB_PARAMS = {"seed": 42, "n_hosts": 4}
+BUDGET = PolitenessBudget(time_scale=0.0)
+
+
+def _seeds():
+    return (
+        company_seed(114, 3, base_priority=0)
+        + business_seed(114, 3, base_priority=100)
+        + school_seed(base_priority=1000)
+    )
+
+
+@pytest.fixture(scope="module")
+def sim_result():
+    web = FixtureWeb(**WEB_PARAMS)
+    return ReferenceSimulator(web, BUDGET).run(_seeds())
+
+
+def _run_engine(spark, workdir, per_host_budget):
+    eng = CrawlEngine(
+        spark,
+        workdir,
+        web_params=WEB_PARAMS,
+        budget=BUDGET,
+        per_host_budget=per_host_budget,
+        bloom_shards=4,
+        bloom_bits=1 << 16,
+        table_buckets=4,
+        fetch_partitions=4,
+    )
+    eng.seed_from_urls(_seeds())
+    stats = eng.run(max_epochs=30)
+    assert stats[-1]["drained"], "frontier must drain"
+    return eng, stats
+
+
+def _engine_order(eng):
+    rows = eng.order_log.read().orderBy("host", "epoch", "host_seq").collect()
+    order: dict[str, list[int]] = {}
+    for r in rows:
+        order.setdefault(r["host"], []).append(r["url_key"])
+    return order
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    return _run_engine(spark, str(tmp_path_factory.mktemp("crawl")), per_host_budget=10_000)
+
+
+def test_seen_set_parity(engine_run, sim_result):
+    eng, _ = engine_run
+    eng_seen = {r["url_key"] for r in eng.seen.read().collect()}
+    assert eng_seen == sim_result.seen
+
+
+def test_crawl_order_parity(engine_run, sim_result):
+    eng, _ = engine_run
+    assert _engine_order(eng) == sim_result.per_host_order
+
+
+def test_images_parity_and_psnr(engine_run, sim_result):
+    eng, _ = engine_run
+    web = FixtureWeb(**WEB_PARAMS)
+    rows = eng.images.read().collect()
+    eng_by_id = {r["image_id"]: r for r in rows}
+    assert set(eng_by_id) == set(sim_result.images)
+    # caption equality + exact pixel match vs simulator
+    for iid, sim_rec in sim_result.images.items():
+        er = eng_by_id[iid]
+        assert er["caption"] == sim_rec["caption"]
+        pix = codecs.decode(bytes(er["bytes"]), er["fmt"])
+        assert np.array_equal(pix, sim_rec["pixels"])
+        assert er["w"] == pix.shape[1] and er["h"] == pix.shape[0]
+        assert er["phash"] == sim_rec["phash"]
+    # PSNR ≥ 40 dB vs pre-encode golden pixels (exact for lossless)
+    checked = 0
+    for host, keys in sim_result.per_host_order.items():
+        for key in keys:
+            if sim_result.statuses.get(key) != "ok":
+                continue
+            url = next(
+                (r["canonical_url"] for r in eng.frontier.read()
+                 .filter(F.col("url_key") == key).collect()), None
+            )
+            if url is None or "/school_list" in url:
+                continue
+            for g in web.images_for(url):
+                er = eng_by_id[g["image_id"]]
+                pix = codecs.decode(bytes(er["bytes"]), er["fmt"])
+                p = codecs.psnr(g["pixels"], pix)
+                if g["fmt"] in codecs.LOSSLESS_FMTS:
+                    assert np.array_equal(pix, g["pixels"])
+                else:
+                    assert p >= 40.0, f"{g['image_id']}: PSNR {p:.1f}"
+                checked += 1
+            if checked > 30:
+                break
+        if checked > 30:
+            break
+    assert checked > 0
+
+
+def test_lineage_accounts_for_everything(engine_run, sim_result):
+    eng, _ = engine_run
+    tot = (
+        eng.lineage.read()
+        .groupBy()
+        .agg(
+            F.sum("fetched").alias("fetched"),
+            F.sum("ok").alias("ok"),
+            F.sum("failed").alias("failed"),
+            F.sum("retried").alias("retried"),
+            F.sum("robots_denied").alias("robots_denied"),
+            F.sum("not_found").alias("not_found"),
+            F.sum("images").alias("images"),
+        )
+        .collect()[0]
+    )
+    c = sim_result.counters
+    assert tot["fetched"] == c["fetched"]
+    assert tot["ok"] == c["ok"]
+    assert tot["failed"] == c["failed"]
+    assert tot["retried"] == c["retried"]
+    assert tot["robots_denied"] == c["robots_denied"]
+    assert tot["not_found"] == c["not_found"]
+    assert tot["images"] == c["images"]
+    # conservation: every frontier row ends in a terminal state
+    fr = eng.frontier.read()
+    assert fr.filter(F.col("state").isin("pending", "in_flight")).count() == 0
+
+
+def test_records_parity(engine_run, sim_result):
+    eng, _ = engine_run
+    rows = eng.records.read().collect()
+    eng_rec = {r["entity_id"]: r for r in rows}
+    assert set(eng_rec) == set(sim_result.records)
+    for eid, sr in sim_result.records.items():
+        er = eng_rec[eid]
+        assert er["entity_name"] == sr["entity_name"]
+        assert er["change_date"] == sr["change_date"]
+        assert er["biz_items"] == sr["biz_items"]
+
+
+def test_multi_epoch_budget_order_parity(spark, tmp_path, sim_result):
+    """Small per-host budget forces many epochs; concatenated per-host order
+    must still equal the simulator's sequential order."""
+    eng, stats = _run_engine(spark, str(tmp_path / "c2"), per_host_budget=7)
+    assert len(stats) > 3, "expected multiple epochs"
+    assert _engine_order(eng) == sim_result.per_host_order
+    eng_seen = {r["url_key"] for r in eng.seen.read().collect()}
+    assert eng_seen == sim_result.seen
+
+
+def test_reseed_dedups_before_fetch(spark, tmp_path):
+    """D2: re-enqueued already-seen URLs are skipped by Bloom+anti-join
+    without fetching (the reference's filename-seen fast path)."""
+    eng, _ = _run_engine(spark, str(tmp_path / "c3"), per_host_budget=10_000)
+    total_fetched_before = eng.lineage.read().agg(F.sum("fetched")).collect()[0][0]
+    # force the done rows back to pending (as a re-enumeration would)
+    fr = eng.frontier.read().filter(F.col("state") == "done")
+    eng.frontier.merge(fr.withColumn("state", F.lit("pending")))
+    stats = eng.run_epoch()
+    assert stats["fetched"] == 0
+    assert stats["deduped"] > 0
+    total_fetched_after = eng.lineage.read().agg(F.sum("fetched")).collect()[0][0]
+    assert total_fetched_after == total_fetched_before
