@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the crawl engine's throughput (frontier URLs/s + images
+committed/s) on a synthetic fixture-web frontier — the BASELINE.json metric.
+Politeness is honored in virtual time (schedule identical, no wall sleeping)
+and the seed uses many hosts so the measurement reflects engine overhead,
+not the per-host politeness serialization (see BENCH/BASELINE.md).
+
+Each query executes to completion through the noop sink (full computation,
+no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from biz_crawlers_spark import queries as Q  # noqa: E402
+from biz_crawlers_spark.ml import dedup as D  # noqa: E402
+from biz_crawlers_spark.ml import similarity as S  # noqa: E402
+from biz_crawlers_spark.ml import textstats as TX  # noqa: E402
+
+BENCH_QUERIES = {
+    "q1_pricing_summary": Q.flagship_pricing_summary,
+    "q2_join_revenue": Q.q_join_revenue_per_nation,
+    "q3_latest_pick": Q.r6_latest_pick,
+    "q4_running_window": Q.w1_running_sum,
+    "q5_events_tumbling": Q.events_tumbling_window,
+    "q6_merge_overlay": Q.r8_merge_overlay,
+    "q7_token_stats": TX.token_stats,
+    "q8_quality_score": TX.quality_score,
+    "q9_dedup_exact": D.dedup_exact,
+    "q10_dedup_minhash_lsh": D.dedup_minhash_lsh,
+    "q11_ann_bruteforce": S.ann_bruteforce,
+}
+
+CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "20000"))
+CRAWL_N_HOSTS = 256
+
+
+def bench_crawl(spark, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from biz_crawlers_spark.engine.crawl import CrawlEngine
+    from biz_crawlers_spark.frontier.seed import synthetic_seed_df
+    from biz_crawlers_spark.politeness.budget import PolitenessBudget
+
+    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    eng = CrawlEngine(
+        spark, wd,
+        web_params={"seed": 42, "n_hosts": CRAWL_N_HOSTS, "max_images_per_page": 1},
+        budget=PolitenessBudget(time_scale=0.0),
+        per_host_budget=10**9,
+        bloom_shards=32, bloom_bits=1 << 22, table_buckets=32,
+        fetch_partitions=cpus,
+    )
+    seed = synthetic_seed_df(spark, CRAWL_N_URLS, n_hosts=CRAWL_N_HOSTS)
+    eng.add_seed_df(seed)
+    t0 = time.time()
+    stats = eng.run_epoch()
+    dt = time.time() - t0
+    processed = stats["fetched"] + stats["robots_denied"] + stats["deduped"]
+    return {
+        "crawl_epoch_sec": round(dt, 2),
+        "crawl_urls": processed,
+        "crawl_images": stats["images"],
+        "crawl_urls_per_sec": round(processed / dt, 1),
+        "crawl_images_per_sec": round(stats["images"] / dt, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from biz_crawlers_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus, app="bench")
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        # warm the reader metadata once so times measure compute, not JVM spin-up
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    crawl = bench_crawl(spark, cpus)
+    times["q12_crawl_epoch"] = crawl["crawl_epoch_sec"]
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

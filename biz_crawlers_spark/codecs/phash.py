@@ -22,21 +22,21 @@ _M32 = _dct_matrix(32)
 
 
 def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Deterministic area-average resample to size×size (box filter over
-    index bins — no interpolation library needed)."""
+    """Deterministic area-average resample to size×size: box filter over
+    index bins, fully vectorized via integral-image gathers (no Python
+    loop — this runs twice per image in the crawl hot path)."""
     h, w = gray.shape
     ys = (np.arange(size + 1) * h) // size
     xs = (np.arange(size + 1) * w) // size
-    out = np.empty((size, size), dtype=np.float64)
+    y0, x0 = ys[:-1], xs[:-1]
+    y1 = np.maximum(ys[1:], y0 + 1)
+    x1 = np.maximum(xs[1:], x0 + 1)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    for i in range(size):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(size):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[i, j] = (csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]) / area
-    return out
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (
+        csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)] - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
+    ) / area
 
 
 def phash64(img: np.ndarray) -> int:
