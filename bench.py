@@ -62,6 +62,7 @@ def bench_crawl(spark, cpus: int) -> dict:
         per_host_budget=10**9,
         bloom_shards=32, bloom_bits=1 << 22, table_buckets=32,
         fetch_partitions=cpus,
+        fetch_salting=cpus,
     )
     seed = synthetic_seed_df(spark, CRAWL_N_URLS, n_hosts=CRAWL_N_HOSTS)
     eng.add_seed_df(seed)

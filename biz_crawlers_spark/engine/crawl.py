@@ -63,7 +63,18 @@ class CrawlEngine:
         bloom_k: int = 7,
         table_buckets: int = 16,
         fetch_partitions: int | None = None,
+        fetch_salting: int = 0,
     ):
+        """``fetch_salting``: 0 (default, strict mode) partitions the fetch
+        stage by host only — per-host politeness pacing is globally correct,
+        the right mode for real crawling (where per-host throughput is
+        politeness-bound by design, so the hot host's serialization is the
+        budget, not a bottleneck). >0 (throughput mode, virtual-time benches)
+        additionally salts by pmod(url_key, S): the 80%-one-host skew spreads
+        over S lanes so CPU scaling measures the engine, not one task. Crawl
+        ORDER is unaffected either way — it is defined by the deterministic
+        sort key and derived by window, not by worker arrival (see
+        run_epoch's order_log)."""
         self.spark = spark
         self.workdir = workdir.rstrip("/")
         self.web_params = web_params or {}
@@ -72,6 +83,7 @@ class CrawlEngine:
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self.fetch_salting = fetch_salting
         os.makedirs(self.workdir, exist_ok=True)
 
         def tbl(name: str, ddl: str, keys: list[str]) -> SnapTable:
@@ -170,14 +182,17 @@ class CrawlEngine:
         )
 
         # dedup: Bloom prefilter, exact anti-join only on positives (§4.1)
-        checked = self.bloom.prefilter_spark(selected, "url_key")
+        checked = self.bloom.prefilter_spark(selected, "url_key").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_selected = checked.count()
         negatives = checked.filter(~F.col("maybe_seen")).drop("maybe_seen")
         positives = checked.filter(F.col("maybe_seen")).drop("maybe_seen")
         survivors = positives.join(self.seen.read(), on="url_key", how="left_anti")
         batch = negatives.unionByName(survivors)
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         n_batch = batch.count()
-        n_selected = selected.count()
+        checked.unpersist()
         n_deduped = n_selected - n_batch
         if n_batch == 0:
             batch.unpersist()
@@ -195,19 +210,22 @@ class CrawlEngine:
                 stats["drained"] = False
             return stats
 
-        # mark in_flight (resumability)
-        self.frontier.merge(
-            batch.withColumn("state", F.lit("in_flight")),
-            summary={"op": "in_flight", "epoch": epoch, "n": n_batch},
-        )
-
+        # Crash-safety needs no in_flight marking: selected rows keep
+        # state='pending' until the epoch-end commit, so a crash mid-fetch
+        # simply re-selects them on restart (commits are atomic snapshots).
+        # resume() still repairs legacy/externally-set in_flight rows.
         hosts = [r["host"] for r in batch.select("host").distinct().collect()]
         robots = self._robots_for(hosts)
 
-        # fetch+extract — partitioned BY HOST (global politeness correctness)
+        # fetch+extract — strict mode: partitioned BY HOST (global politeness
+        # pacing); throughput mode: salted lanes kill the hot-host skew
         stage = make_stage(self.web_params, self.budget, robots)
+        if self.fetch_salting > 0:
+            part_cols = [F.col("host"), F.pmod(F.col("url_key"), F.lit(self.fetch_salting))]
+        else:
+            part_cols = [F.col("host")]
         fetched = (
-            batch.repartition(self.fetch_partitions, F.col("host"))
+            batch.repartition(self.fetch_partitions, *part_cols)
             .mapInPandas(stage, STAGE_DDL)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -264,14 +282,26 @@ class CrawlEngine:
         )
         self.frontier.merge(state_upd, summary={"op": "epoch_end", "epoch": epoch})
 
-        # crawl-order evidence: per-host sequence of url_keys (parity vs the
-        # reference simulator sorts by (epoch, host_seq))
+        # crawl-order evidence: per-host sequence of url_keys. host_seq is
+        # DERIVED from the deterministic order key (window row_number), not
+        # from worker arrival — identical in strict and salted modes, and
+        # equal to the reference's sequential order per host (SURVEY.md §7)
+        from pyspark.sql import Window
+
+        order_cols = ["priority", "org_idx", "type_idx", "page", "url_key"]
+        w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
+        ordered = (
+            batch.select("url_key", "host", *order_cols[:-1])
+            .join(statuses.select("url_key", "status", "attempts"), "url_key")
+            .withColumn("host_seq", F.row_number().over(w).cast("long") - 1)
+        )
         self.order_log.append(
-            statuses.select(
+            ordered.select(
                 "url_key", "host", F.lit(epoch).alias("epoch"), "host_seq",
                 "status", "attempts",
             ),
             summary={"epoch": epoch},
+            bucketize=False,  # append-only evidence table, never MERGEd
         )
 
         lineage_rows = statuses.groupBy(
@@ -295,7 +325,7 @@ class CrawlEngine:
             .drop("_imgs")
             .select(*self.lineage._cols())
         )
-        self.lineage.append(lineage_rows, summary={"epoch": epoch})
+        self.lineage.append(lineage_rows, summary={"epoch": epoch}, bucketize=False)
 
         agg = statuses.groupBy().agg(
             F.sum((F.col("status") != "robots_denied").cast("long")).alias("fetched"),

@@ -36,6 +36,10 @@ def get_spark(
     pypath = os.environ.get("PYTHONPATH", "")
     if pkg_root not in pypath.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+    # one BLAS thread per Python worker: N workers × multithreaded BLAS
+    # oversubscribes cores and destroys mapInPandas scaling
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -142,25 +142,35 @@ class SnapTable:
 
     # ---------- write paths ----------
 
-    def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
-        """Write df bucketed by key; return manifest file entries."""
+    def _write_data_files(
+        self, df: DataFrame, snapshot_id: int, bucketize: bool = True
+    ) -> list[dict]:
+        """Write df bucketed by key; return manifest file entries.
+        ``bucketize=False`` skips the bucket shuffle (for append-only tables
+        that are never MERGEd — lineage, order logs); such files get bucket
+        -1, which every MERGE treats as always-touched."""
         dest = os.path.join(self.path, "data", f"s{snapshot_id}")
-        (
-            df.withColumn("_bucket", self._bucket_expr())
-            .repartition("_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(dest)
-        )
+        if bucketize:
+            (
+                df.withColumn("_bucket", self._bucket_expr())
+                .repartition("_bucket")
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(dest)
+            )
+        else:
+            df.write.mode("overwrite").parquet(dest)
         entries = []
         for bdir in sorted(os.listdir(dest)):
-            if not bdir.startswith("_bucket="):
-                continue
-            bucket = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(dest, bdir))):
-                if fn.endswith(".parquet"):
-                    rel = os.path.join("data", f"s{snapshot_id}", bdir, fn)
-                    entries.append({"path": rel, "bucket": bucket})
+            if bdir.startswith("_bucket="):
+                bucket = int(bdir.split("=", 1)[1])
+                for fn in sorted(os.listdir(os.path.join(dest, bdir))):
+                    if fn.endswith(".parquet"):
+                        rel = os.path.join("data", f"s{snapshot_id}", bdir, fn)
+                        entries.append({"path": rel, "bucket": bucket})
+            elif bdir.endswith(".parquet"):
+                rel = os.path.join("data", f"s{snapshot_id}", bdir)
+                entries.append({"path": rel, "bucket": -1})
         return entries
 
     def _commit(
@@ -181,11 +191,13 @@ class SnapTable:
         self._atomic_write(os.path.join(self.path, "_current"), str(sid))
         return sid
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, summary: dict | None = None, bucketize: bool = True
+    ) -> int:
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
         sid = parent + 1
-        new_files = self._write_data_files(df.select(*self._cols()), sid)
+        new_files = self._write_data_files(df.select(*self._cols()), sid, bucketize)
         return self._commit("append", prev_files + new_files, summary)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
@@ -230,7 +242,7 @@ class SnapTable:
         touched = sorted(
             r["_bucket"] for r in upd.select("_bucket").distinct().collect()
         )
-        touched_set = set(touched)
+        touched_set = set(touched) | {-1}  # unbucketed files are always touched
         keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
         hit_files = [f for f in prev_files if f["bucket"] in touched_set]
 

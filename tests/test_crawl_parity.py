@@ -178,6 +178,22 @@ def test_multi_epoch_budget_order_parity(spark, tmp_path, sim_result):
     assert eng_seen == sim_result.seen
 
 
+def test_salted_fetch_mode_order_parity(spark, tmp_path, sim_result):
+    """Throughput mode (salted fetch lanes) must produce the identical
+    derived crawl order, seen set — the salting changes physical placement
+    only (north_rule: salted-repartition skew kill)."""
+    eng = CrawlEngine(
+        spark, str(tmp_path / "c4"), web_params=WEB_PARAMS, budget=BUDGET,
+        per_host_budget=10_000, bloom_shards=4, bloom_bits=1 << 16,
+        table_buckets=4, fetch_partitions=4, fetch_salting=4,
+    )
+    eng.seed_from_urls(_seeds())
+    stats = eng.run(max_epochs=30)
+    assert stats[-1]["drained"]
+    assert _engine_order(eng) == sim_result.per_host_order
+    assert {r["url_key"] for r in eng.seen.read().collect()} == sim_result.seen
+
+
 def test_reseed_dedups_before_fetch(spark, tmp_path):
     """D2: re-enqueued already-seen URLs are skipped by Bloom+anti-join
     without fetching (the reference's filename-seen fast path)."""

@@ -46,6 +46,7 @@ def worker(cpus: int, n_urls: int) -> None:
         per_host_budget=10**9,
         bloom_shards=32, bloom_bits=1 << 23, table_buckets=32,
         fetch_partitions=cpus,
+        fetch_salting=cpus,
     )
     seed = synthetic_seed_df(spark, n_urls, n_hosts=N_HOSTS)
     eng.add_seed_df(seed)
