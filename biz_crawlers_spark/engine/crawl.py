@@ -64,6 +64,7 @@ class CrawlEngine:
         table_buckets: int = 16,
         fetch_partitions: int | None = None,
         fetch_salting: int = 0,
+        keep_staging: bool = False,
     ):
         """``fetch_salting``: 0 (default, strict mode) partitions the fetch
         stage by host only — per-host politeness pacing is globally correct,
@@ -84,6 +85,7 @@ class CrawlEngine:
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         self.fetch_salting = fetch_salting
+        self.keep_staging = keep_staging
         os.makedirs(self.workdir, exist_ok=True)
 
         def tbl(name: str, ddl: str, keys: list[str]) -> SnapTable:
@@ -218,17 +220,26 @@ class CrawlEngine:
         robots = self._robots_for(hosts)
 
         # fetch+extract — strict mode: partitioned BY HOST (global politeness
-        # pacing); throughput mode: salted lanes kill the hot-host skew
+        # pacing); throughput mode: salted lanes kill the hot-host skew.
+        # The fused output lands in a staging PARQUET (not .persist()): the
+        # epoch then reads it several times (statuses/images/records/
+        # discovered/lineage) and columnar staging means every scan except
+        # the images MERGE prunes the bytes column away — a row-format cache
+        # would deserialize the payload bytes on every scan. The staging dir
+        # doubles as the raw-results archive of the epoch (K5 analog).
         stage = make_stage(self.web_params, self.budget, robots)
         if self.fetch_salting > 0:
             part_cols = [F.col("host"), F.pmod(F.col("url_key"), F.lit(self.fetch_salting))]
         else:
             part_cols = [F.col("host")]
-        fetched = (
+        staging = os.path.join(self.workdir, "staging", f"epoch={epoch}")
+        (
             batch.repartition(self.fetch_partitions, *part_cols)
             .mapInPandas(stage, STAGE_DDL)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .write.mode("overwrite")
+            .parquet(staging)
         )
+        fetched = self.spark.read.parquet(staging)
 
         statuses = fetched.filter(F.col("row_type") == "status")
         images = fetched.filter(F.col("row_type") == "image")
@@ -339,8 +350,11 @@ class CrawlEngine:
         ).collect()[0]
         n_images = images.count()
 
-        fetched.unpersist()
         batch.unpersist()
+        if not self.keep_staging:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
         self._bump_epoch(epoch)
         return {
             "epoch": epoch, "selected": n_selected, "deduped": n_deduped,

@@ -45,12 +45,17 @@ def gen_pixels(seed: int, key: int, w: int, h: int, glyph_id: int) -> np.ndarray
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def make_image(seed: int, key: int, k: int, entity_name: str, entity_id: str, category: str) -> dict:
+def make_image(
+    seed: int, key: int, k: int, entity_name: str, entity_id: str, category: str,
+    sizes: tuple = SIZES,
+) -> dict:
     """Full image record per input_hint schema (image_id, bytes, w, h, fmt,
-    caption, phash). ``key`` is the content key (e.g. url_key ^ k)."""
+    caption, phash). ``key`` is the content key (e.g. url_key ^ k).
+    ``sizes`` narrows the dimension pool (scaling benches use small images so
+    the measurement reflects the engine, not local-disk bandwidth)."""
     rng = _rng_for(seed, key ^ 0x5EED)
-    w = int(rng.choice(SIZES))
-    h = int(rng.choice(SIZES))
+    w = int(rng.choice(sizes))
+    h = int(rng.choice(sizes))
     fmt = str(rng.choice(FMTS))
     pixels = gen_pixels(seed, key, w, h, glyph_id=key % 1000)
     data = codecs.encode(pixels, fmt)

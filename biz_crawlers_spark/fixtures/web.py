@@ -124,12 +124,14 @@ class FixtureWeb:
         school_pages: int = 5,
         rows_per_school_page: int = 10,
         max_images_per_page: int = 3,
+        image_sizes: tuple | None = None,
     ):
         self.seed = seed
         self.n_hosts = n_hosts
         self.school_pages = school_pages
         self.rows_per_school_page = rows_per_school_page
         self.max_images = max_images_per_page
+        self.image_sizes = tuple(image_sizes) if image_sizes else None
 
     # ---------- robots ----------
 
@@ -180,8 +182,11 @@ class FixtureWeb:
         the engine's extraction must reproduce."""
         entity_id, entity_name, category = self.entity_for(url)
         key = spark_xxhash64(url)
+        kw = {"sizes": self.image_sizes} if self.image_sizes else {}
         return [
-            make_image(self.seed, key ^ (k * 0x9E3779B9), k, entity_name, entity_id, category)
+            make_image(
+                self.seed, key ^ (k * 0x9E3779B9), k, entity_name, entity_id, category, **kw
+            )
             for k in range(self.n_images_for(url))
         ]
 

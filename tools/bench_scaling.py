@@ -41,7 +41,13 @@ def worker(cpus: int, n_urls: int) -> None:
     wd = tempfile.mkdtemp(prefix=f"scaling{cpus}_")
     eng = CrawlEngine(
         spark, wd,
-        web_params={"seed": 42, "n_hosts": N_HOSTS, "max_images_per_page": 1},
+        web_params={
+            "seed": 42, "n_hosts": N_HOSTS, "max_images_per_page": 1,
+            # small images: the scaling criterion measures the ENGINE; big
+            # payloads just measure the sandbox's single local disk, which a
+            # real cluster scales with nodes (see BENCH/BASELINE.md)
+            "image_sizes": (16, 32),
+        },
         budget=PolitenessBudget(time_scale=0.0),
         per_host_budget=10**9,
         bloom_shards=32, bloom_bits=1 << 23, table_buckets=32,
