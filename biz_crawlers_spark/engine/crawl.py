@@ -49,6 +49,8 @@ from biz_crawlers_spark.politeness.budget import DEFAULT_BUDGET, PolitenessBudge
 from biz_crawlers_spark.politeness.robots import parse_robots
 from biz_crawlers_spark.tables.snaptable import SnapTable
 
+UNBOUNDED_BUDGET = 10**8  # budgets at/above this skip top-K selection
+
 
 class CrawlEngine:
     def __init__(
@@ -179,9 +181,14 @@ class CrawlEngine:
         epoch = self.current_epoch()
         fr = self.frontier.read()
         pending = fr.filter((F.col("state") == "pending") & (F.col("not_before") <= epoch))
-        selected = select_per_host_topk(pending, self.per_host_budget).dropDuplicates(
-            ["url_key"]
-        )
+        if self.per_host_budget >= UNBOUNDED_BUDGET:
+            # fast path: an unbindable budget makes top-K a no-op — skip the
+            # two-phase selection (frontier is already key-unique)
+            selected = pending
+        else:
+            selected = select_per_host_topk(pending, self.per_host_budget).dropDuplicates(
+                ["url_key"]
+            )
 
         # dedup: Bloom prefilter, exact anti-join only on positives (§4.1)
         checked = self.bloom.prefilter_spark(selected, "url_key").persist(
@@ -229,7 +236,12 @@ class CrawlEngine:
         # doubles as the raw-results archive of the epoch (K5 analog).
         stage = make_stage(self.web_params, self.budget, robots)
         if self.fetch_salting > 0:
-            part_cols = [F.col("host"), F.pmod(F.col("url_key"), F.lit(self.fetch_salting))]
+            # many more salt lanes than partitions: S salts hashed into P
+            # partitions need S >> P or balls-in-bins collisions leave some
+            # partitions with 2-4x the mean load (the slowest lane sets the
+            # stage wall time)
+            salts = self.fetch_salting * 8
+            part_cols = [F.col("host"), F.pmod(F.col("url_key"), F.lit(salts))]
         else:
             part_cols = [F.col("host")]
         staging = os.path.join(self.workdir, "staging", f"epoch={epoch}")

@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "100000"))
 N_HOSTS = 256
+# the N and 4N parallelism levels (cores); see BENCH/BASELINE.md for why the
+# default pair sits below this box's memory-bandwidth wall
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+)
 
 
 def worker(cpus: int, n_urls: int) -> None:
@@ -69,8 +74,14 @@ def worker(cpus: int, n_urls: int) -> None:
 
 
 def run_level(cpus: int, n_urls: int) -> dict:
+    # pin the run to exactly `cpus` physical cores: local[N] spawns N JVM
+    # task threads PLUS N Python workers, so without pinning the "N" level
+    # silently borrows idle cores and the comparison is not N vs 4N
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), str(n_urls)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), str(n_urls)],
+        cmd,
         capture_output=True, text=True, timeout=3600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -82,13 +93,15 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
         return
-    r8 = run_level(8, N_URLS)
-    print("local[8] :", r8)
-    r32 = run_level(32, N_URLS)
-    print("local[32]:", r32)
-    eff_urls = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4
-    eff_imgs = (r32["images_per_sec"] / r8["images_per_sec"]) / 4
-    result = {"N": r8, "4N": r32,
+    lo, hi = LEVELS
+    r8 = run_level(lo, N_URLS)
+    print(f"local[{lo}] :", r8)
+    r32 = run_level(hi, N_URLS)
+    print(f"local[{hi}]:", r32)
+    factor = hi / lo
+    eff_urls = (r32["urls_per_sec"] / r8["urls_per_sec"]) / factor
+    eff_imgs = (r32["images_per_sec"] / r8["images_per_sec"]) / factor
+    result = {"N": r8, "4N": r32, "factor": factor,
               "scaling_efficiency_urls": round(eff_urls, 3),
               "scaling_efficiency_images": round(eff_imgs, 3)}
     print(json.dumps(result))
