@@ -107,7 +107,10 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     per call; shingle → crc32 (C speed) → k permutations via vectorized
     splitmix64(crc ^ seed_p) — no per-row Python beyond the string shingling
     itself."""
-    sh = _shingles_df(spark, sf_dir)
+    # small parquet inputs arrive as one partition; spread the signature
+    # computation across the cluster before the Python stage
+    par = spark.sparkContext.defaultParallelism
+    sh = _shingles_df(spark, sf_dir).repartition(par, "doc_id")
     k = MINHASH_K
     seeds = np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 
@@ -208,7 +211,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(doc_id)
             yield pd.DataFrame({"doc_id": ids, "simhash": sims})
 
-    sims = d.select("doc_id", "text").mapInPandas(sim_batches, "doc_id long, simhash long")
+    sims = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .mapInPandas(sim_batches, "doc_id long, simhash long")
+    )
     bands = sims.select(
         "doc_id",
         "simhash",
