@@ -295,7 +295,10 @@ class CrawlEngine:
         self.seen.append(seen_rows, summary={"epoch": epoch})
         self.bloom.add_spark(term_ok.select("url_key"), "url_key")
 
-        state_upd = statuses.select(
+        # frontier state transitions apply to FRONTIER rows only; two-hop
+        # detail fetches (parent_key set) are derived requests — they are
+        # seen-tracked and lineage-counted but never join the frontier
+        state_upd = statuses.filter(F.col("parent_key").isNull()).select(
             "url_key",
             F.when(F.col("status").isin("ok", "not_found"), "done")
             .when(F.col("status") == "robots_denied", "denied")

@@ -38,7 +38,10 @@ from biz_crawlers_spark.extract.pages import (
     parse_detail_fields,
     parse_roc_date,
     parse_school_rows,
+    parse_search_results,
+    pick_latest,
 )
+from biz_crawlers_spark.hashing import spark_xxhash64
 from biz_crawlers_spark.fixtures.web import FixtureWeb
 from biz_crawlers_spark.politeness.budget import PolitenessBudget
 from biz_crawlers_spark.politeness.robots import is_allowed
@@ -49,7 +52,7 @@ STAGE_DDL = (
     "image_seq int, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, entity_id string, entity_name string, "
     "change_date string, biz_items string, category string, discovered_url string, "
-    "priority int"
+    "priority int, parent_key long"
 )
 
 _STAGE_COLS = [c.split(":")[0].strip().split(" ")[0] for c in STAGE_DDL.split(", ")]
@@ -169,6 +172,23 @@ def _discoveries(url: str, body: bytes, url_key: int, host: str, priority: int) 
     ]
 
 
+def _fetch_with_retries(web, url: str, budget: PolitenessBudget, t: float, wait_until):
+    """Politeness-scheduled fetch with in-place throttle/junk retries
+    (P4-P6). Returns (terminal_status, body, attempts, advanced_clock)."""
+    status, body, attempts = "error", b"", 0
+    for attempt in range(budget.max_retries + 1):
+        t += budget.per_request_s
+        wait_until(t)
+        res = web.fetch(url, attempt=attempt)
+        status = classify_page(res["status"], res["body"])
+        body = res["body"]
+        attempts = attempt + 1
+        if status in TERMINAL_OK:
+            break
+        t += budget.retry_wait_s(attempt)  # P4/P5 backoff
+    return status, body, attempts, t
+
+
 def make_stage(
     web_params: dict,
     budget: PolitenessBudget,
@@ -213,17 +233,7 @@ def make_stage(
                             )
                         )
                         continue
-                    status, body, attempts = "error", b"", 0
-                    for attempt in range(budget.max_retries + 1):
-                        t += budget.per_request_s
-                        wait_until(t)
-                        res = web.fetch(url, attempt=attempt)
-                        status = classify_page(res["status"], res["body"])
-                        body = res["body"]
-                        attempts = attempt + 1
-                        if status in TERMINAL_OK:
-                            break
-                        t += budget.retry_wait_s(attempt)  # P4/P5 backoff
+                    status, body, attempts, t = _fetch_with_retries(web, url, budget, t, wait_until)
                     seq = host_seq.get(host, 0)
                     host_seq[host] = seq + 1
                     out.append(
@@ -239,6 +249,29 @@ def make_stage(
                         out.extend(
                             _discoveries(url, body, row.url_key, host, row.priority)
                         )
+                        # two-hop search → detail (§3.2): the reference
+                        # fetches the latest-by-date detail page immediately
+                        # inside the same loop iteration
+                        # (DetailCrawler.php:105-236); same here — politeness
+                        # clock carries over, order is exactly the reference's
+                        detail_url = pick_latest(parse_search_results(body))
+                        if detail_url and "/search" in url:
+                            d_status, d_body, d_attempts, t = _fetch_with_retries(
+                                web, detail_url, budget, t, wait_until
+                            )
+                            d_key = spark_xxhash64(detail_url)
+                            out.append(
+                                _blank_row(
+                                    row_type="status", url_key=d_key,
+                                    canonical_url=detail_url, host=host,
+                                    status=d_status, attempts=d_attempts,
+                                    host_seq=None, partition_id=pid,
+                                    scheduled_at=t, parent_key=row.url_key,
+                                )
+                            )
+                            if d_status == "ok":
+                                out.extend(_decode_figures(d_body, d_key, host))
+                                out.extend(_extract_record(d_body, d_key, host))
                 host_clock[host] = t
             yield _to_frame(out)
 

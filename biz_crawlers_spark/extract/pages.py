@@ -25,6 +25,10 @@ _SCHOOL_ROW_RE = re.compile(
     r"<tr class='td_style0[12]'><td>\d+</td><td>([^<]*)</td><td>(\d+)</td><td>([^<]*)</td></tr>"
 )
 _ROC_DATE_RE = re.compile(r"(\d+)年(\d+)月(\d+)日")  # DetailCrawler.php:676-682
+_SEARCH_ROW_RE = re.compile(
+    r"<tr>(?:<td>[^<]*</td>){5}<td><a href='([^']+)'>[^<]*</a></td>"
+    r"<td data-title='核准變更日期'>(\d+)年(\d+)月(\d+)日</td></tr>"
+)
 _BIZ_ITEM_RE = re.compile(r"([A-Z][A-Z0-9]\d{5})\s*([^A-Z]*)")  # X10, DetailCrawler.php:544-584
 
 
@@ -65,6 +69,28 @@ def extract_figures(body: bytes) -> list[dict]:
             continue
         out.append({"fmt": fmt, "bytes": raw, "caption": caption, "seq": seq})
     return out
+
+
+def parse_search_results(body: bytes) -> list[tuple[str, tuple[int, int, int]]]:
+    """Search-results rows (X3: DetailCrawler.php:371-430) —
+    [(detail_url, (roc_y, m, d))] from the eslist-table."""
+    try:
+        text = body.decode("utf-8", errors="replace")
+    except Exception:
+        return []
+    return [
+        (url, (int(y), int(m), int(d)))
+        for url, y, m, d in _SEARCH_ROW_RE.findall(text)
+    ]
+
+
+def pick_latest(rows: list[tuple[str, tuple[int, int, int]]]) -> str | None:
+    """Latest-by-change-date pick (the arsort-then-first of
+    DetailCrawler.php:426-429); URL string breaks exact-date ties
+    deterministically."""
+    if not rows:
+        return None
+    return max(rows, key=lambda r: (r[1], r[0]))[0]
 
 
 def parse_roc_date(s: str) -> tuple[int, int, int] | None:

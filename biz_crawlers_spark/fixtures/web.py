@@ -114,6 +114,20 @@ def school_seed(n_hosts: int = 4, base_priority: int = 0) -> list[SeedURL]:
     return [SeedURL(f"https://{host}/school_list?pages=1", 0, 0, 1, base_priority, host)]
 
 
+def search_seed(n_entities: int, n_hosts: int = 4, base_priority: int = 0) -> list[SeedURL]:
+    """Detail-crawl seeds: one search URL per 8-digit entity id (the
+    DetailCrawler flow, §3.2 — search page → latest-by-date detail page)."""
+    out = []
+    for i in range(n_entities):
+        entity_id = f"{(37 * i + 11) % 10**8:08d}"
+        host = host_for(f"search{entity_id}", n_hosts)
+        out.append(
+            SeedURL(f"https://{host}/search?qryCond={entity_id}", 0, 0, 0,
+                    base_priority + i, host)
+        )
+    return out
+
+
 class FixtureWeb:
     """Pure-function web: fetch(url, attempt) → {status, body}."""
 
@@ -213,6 +227,44 @@ class FixtureWeb:
         pad = max(0, 1200 - len(html.encode("utf-8")))  # clear the 1000-byte gate
         return (html + "<!--" + "x" * pad + "-->").encode("utf-8")
 
+    def _search_page(self, url: str) -> bytes:
+        """Search-results page (DetailCrawler.php:371-430 shape): an
+        eslist-table with ≥7-td rows, one per historical revision of the
+        entity, each with a detail href and a 核准變更日期 cell. The engine
+        must pick the LATEST date's href (X3). Dates are distinct by
+        construction (no arsort tie ambiguity)."""
+        u = urlsplit(url)
+        entity_id = parse_qs(u.query).get("qryCond", ["00000000"])[0]
+        key = spark_xxhash64(url)
+        n_cand = 2 + self._mod(key >> 4, 3)  # 2-4 revisions
+        latest = self._mod(key >> 12, n_cand)
+        rows = []
+        for v in range(n_cand):
+            yy = 100 + self._mod(key >> (16 + v), 14)
+            mm = 1 + self._mod(key >> (20 + v), 12)
+            dd = 1 + self._mod(key >> (24 + v), 28)
+            # force the `latest` candidate to carry the maximum date
+            if v == latest:
+                yy += 20
+            href = f"https://{(u.hostname or '').lower()}/detail?id={entity_id}&v={v}"
+            tds = "".join(f"<td>c{j}</td>" for j in range(5))
+            rows.append(
+                f"<tr>{tds}<td><a href='{href}'>{entity_id}</a></td>"
+                f"<td data-title='核准變更日期'>{yy}年{mm}月{dd}日</td></tr>"
+            )
+        html = (
+            "<html><body><table id='eslist-table'>" + "".join(rows)
+            + "</table></body></html>"
+        )
+        pad = max(0, 1200 - len(html.encode("utf-8")))
+        return (html + "<!--" + "x" * pad + "-->").encode("utf-8")
+
+    def latest_detail_url(self, search_url: str) -> str:
+        """Golden truth: the detail URL the latest-by-date pick must select."""
+        from biz_crawlers_spark.extract.pages import parse_search_results, pick_latest
+
+        return pick_latest(parse_search_results(self._search_page(search_url)))
+
     def _school_page(self, page: int) -> bytes:
         if page > self.school_pages:
             return "<html><body><table summary='訊息列表'></table></body></html>".encode("utf-8")
@@ -241,6 +293,21 @@ class FixtureWeb:
         if u.path.endswith("/school_list"):
             page = int(parse_qs(u.query).get("pages", ["1"])[0])
             return {"status": "ok", "body": self._school_page(page)}
+        if u.path.endswith("/search"):
+            cls = self.classify(url)
+            if cls == "not_found":
+                return {
+                    "status": "not_found",
+                    "body": f"<html><body>{NOT_FOUND_SENTINEL}</body></html>".encode("utf-8"),
+                }
+            if cls == "junk":
+                return {"status": "junk", "body": b"<html><body>oops</body></html>"}
+            if cls == "throttle_once" and attempt == 0:
+                return {
+                    "status": "throttled",
+                    "body": f"<html><body>{THROTTLE_SENTINEL}</body></html>".encode("utf-8"),
+                }
+            return {"status": "ok", "body": self._search_page(url)}
         cls = self.classify(url)
         if cls == "not_found":
             return {

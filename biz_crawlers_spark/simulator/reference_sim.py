@@ -35,6 +35,8 @@ from biz_crawlers_spark.extract.pages import (
     parse_detail_fields,
     parse_roc_date,
     parse_school_rows,
+    parse_search_results,
+    pick_latest,
 )
 from biz_crawlers_spark.fixtures.web import FixtureWeb, SeedURL
 from biz_crawlers_spark.frontier.canonical import canonicalize, url_key
@@ -45,6 +47,7 @@ from biz_crawlers_spark.politeness.robots import is_allowed, parse_robots
 @dataclass
 class SimResult:
     per_host_order: dict[str, list[int]] = field(default_factory=dict)
+    detail_order: dict[str, list[int]] = field(default_factory=dict)  # two-hop details
     seen: set[int] = field(default_factory=set)
     images: dict[str, dict] = field(default_factory=dict)  # image_id → record
     records: dict[str, dict] = field(default_factory=dict)
@@ -86,16 +89,7 @@ class ReferenceSimulator:
                 r.per_host_order.setdefault(host, []).append(key)
                 r.statuses[key] = "robots_denied"
                 continue
-            status, body = "error", b""
-            for attempt in range(self.budget.max_retries + 1):
-                res = self.web.fetch(cu, attempt=attempt)
-                status = classify_page(res["status"], res["body"])
-                body = res["body"]
-                if attempt > 0:
-                    r.counters["retried"] += 1
-                if status in ("ok", "not_found"):
-                    break
-            r.counters["fetched"] += 1
+            status, body = self._fetch_retrying(r, cu)
             r.per_host_order.setdefault(host, []).append(key)
             r.statuses[key] = status
             if status == "not_found":
@@ -107,38 +101,26 @@ class ReferenceSimulator:
                 continue
             r.counters["ok"] += 1
             r.seen.add(key)
-            # figures → decoded images
-            for fig in extract_figures(body):
-                try:
-                    pixels = codecs.decode(fig["bytes"], fig["fmt"])
-                except Exception:
-                    continue
-                image_id = hashlib.sha256(fig["bytes"]).hexdigest()[:16]
-                r.images[image_id] = {
-                    "pixels": pixels,
-                    "caption": fig["caption"],
-                    "fmt": fig["fmt"],
-                    "bytes": fig["bytes"],
-                    "phash": codecs.phash64(pixels),
-                    "url_key": key,
-                }
-                r.counters["images"] += 1
-            # records
-            fields = parse_detail_fields(body)
-            if "統一編號" in fields:
-                roc = parse_roc_date(fields.get("核准變更日期", ""))
-                r.records[fields["統一編號"].rjust(8, "0")] = {
-                    "entity_name": fields.get("公司名稱"),
-                    "change_date": f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
-                    "biz_items": json.dumps(
-                        parse_business_items(fields.get("所營事業資料", "")),
-                        ensure_ascii=False,
-                    ),
-                }
-            for cat, tax_id, name in parse_school_rows(body):
-                r.records[tax_id.rjust(8, "0")] = {
-                    "entity_name": name, "change_date": None, "biz_items": "[]",
-                }
+            # two-hop: search page → latest-by-date detail fetched
+            # immediately in the same iteration (DetailCrawler.php:105-236)
+            if "/search" in cu:
+                detail_url = pick_latest(parse_search_results(body))
+                if detail_url:
+                    d_key = url_key(detail_url)
+                    d_status, d_body = self._fetch_retrying(r, detail_url)
+                    r.detail_order.setdefault(host, []).append(d_key)
+                    r.statuses[d_key] = d_status
+                    if d_status == "not_found":
+                        r.counters["not_found"] += 1
+                        r.seen.add(d_key)
+                    elif d_status != "ok":
+                        r.counters["failed"] += 1
+                    else:
+                        r.counters["ok"] += 1
+                        r.seen.add(d_key)
+                        self._ingest_payload(r, d_body, d_key)
+                continue
+            self._ingest_payload(r, body, key)
             # pagination discovery (F4): append next page to the END of the
             # queue — matches the engine's next-epoch scheduling
             if "/school_list" in cu and parse_school_rows(body):
@@ -149,6 +131,53 @@ class ReferenceSimulator:
                 queue.append(SeedURL(nxt, 0, 0, page + 1, 0, host))
                 r.counters["discovered"] += 1
         return r
+
+    def _fetch_retrying(self, r: SimResult, url: str) -> tuple[str, bytes]:
+        """In-place retry loop mirroring P4-P6; counts fetched/retried."""
+        status, body = "error", b""
+        for attempt in range(self.budget.max_retries + 1):
+            res = self.web.fetch(url, attempt=attempt)
+            status = classify_page(res["status"], res["body"])
+            body = res["body"]
+            if attempt > 0:
+                r.counters["retried"] += 1
+            if status in ("ok", "not_found"):
+                break
+        r.counters["fetched"] += 1
+        return status, body
+
+    def _ingest_payload(self, r: SimResult, body: bytes, key: int) -> None:
+        """Figures → decoded images; detail/school fields → records."""
+        for fig in extract_figures(body):
+            try:
+                pixels = codecs.decode(fig["bytes"], fig["fmt"])
+            except Exception:
+                continue
+            image_id = hashlib.sha256(fig["bytes"]).hexdigest()[:16]
+            r.images[image_id] = {
+                "pixels": pixels,
+                "caption": fig["caption"],
+                "fmt": fig["fmt"],
+                "bytes": fig["bytes"],
+                "phash": codecs.phash64(pixels),
+                "url_key": key,
+            }
+            r.counters["images"] += 1
+        fields = parse_detail_fields(body)
+        if "統一編號" in fields:
+            roc = parse_roc_date(fields.get("核准變更日期", ""))
+            r.records[fields["統一編號"].rjust(8, "0")] = {
+                "entity_name": fields.get("公司名稱"),
+                "change_date": f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
+                "biz_items": json.dumps(
+                    parse_business_items(fields.get("所營事業資料", "")),
+                    ensure_ascii=False,
+                ),
+            }
+        for cat, tax_id, name in parse_school_rows(body):
+            r.records[tax_id.rjust(8, "0")] = {
+                "entity_name": name, "change_date": None, "biz_items": "[]",
+            }
 
 
 def psnr_vs_golden(web: FixtureWeb, url: str, sim: SimResult) -> list[tuple[str, float]]:

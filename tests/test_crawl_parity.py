@@ -21,6 +21,7 @@ from biz_crawlers_spark.fixtures.web import (
     business_seed,
     company_seed,
     school_seed,
+    search_seed,
 )
 from biz_crawlers_spark.politeness.budget import PolitenessBudget
 from biz_crawlers_spark.simulator.reference_sim import ReferenceSimulator
@@ -30,10 +31,15 @@ BUDGET = PolitenessBudget(time_scale=0.0)
 
 
 def _seeds():
+    # the school group must be LAST both in insertion order and priority:
+    # discovered pages inherit the parent priority, so the reference's
+    # append-at-end queue semantics only map onto the engine's priority sort
+    # when nothing lower-priority follows (SURVEY.md §7 ordering note)
     return (
         company_seed(114, 3, base_priority=0)
         + business_seed(114, 3, base_priority=100)
-        + school_seed(base_priority=1000)
+        + search_seed(20, base_priority=5000)  # two-hop search→detail flow
+        + school_seed(base_priority=10000)
     )
 
 
@@ -54,9 +60,10 @@ def _run_engine(spark, workdir, per_host_budget):
         bloom_bits=1 << 16,
         table_buckets=4,
         fetch_partitions=4,
+        keep_staging=True,  # the staging archive doubles as two-hop evidence
     )
     eng.seed_from_urls(_seeds())
-    stats = eng.run(max_epochs=30)
+    stats = eng.run(max_epochs=60)
     assert stats[-1]["drained"], "frontier must drain"
     return eng, stats
 
@@ -176,6 +183,50 @@ def test_multi_epoch_budget_order_parity(spark, tmp_path, sim_result):
     assert _engine_order(eng) == sim_result.per_host_order
     eng_seen = {r["url_key"] for r in eng.seen.read().collect()}
     assert eng_seen == sim_result.seen
+
+
+def test_two_hop_detail_parity(engine_run, sim_result):
+    """Two-hop flow (§3.2): per-host detail fetch order equals the
+    simulator's, and each engine-selected detail URL is exactly the fixture's
+    latest-by-date candidate (X3 golden)."""
+    import os
+
+    eng, _ = engine_run
+    staged = eng.spark.read.parquet(os.path.join(eng.workdir, "staging"))
+    details = staged.filter(
+        (F.col("row_type") == "status") & F.col("parent_key").isNotNull()
+    ).collect()
+    assert details, "no two-hop detail fetches recorded"
+    pairs = {r["parent_key"]: r["url_key"] for r in details}
+    order = _engine_order(eng)
+    eng_detail = {
+        h: [pairs[k] for k in keys if k in pairs] for h, keys in order.items()
+    }
+    eng_detail = {h: v for h, v in eng_detail.items() if v}
+    assert eng_detail == sim_result.detail_order
+    # golden latest-pick + PSNR/caption on detail payloads
+    from biz_crawlers_spark import codecs
+    from biz_crawlers_spark.frontier.canonical import url_key as ukey
+
+    web = FixtureWeb(**WEB_PARAMS)
+    fr = {r["url_key"]: r["canonical_url"] for r in eng.frontier.read().collect()}
+    eng_imgs = {r["image_id"]: r for r in eng.images.read().collect()}
+    checked = psnr_checked = 0
+    for pk, dk in pairs.items():
+        su = fr.get(pk)
+        if not su or "/search" not in su:
+            continue
+        golden_url = web.latest_detail_url(su)
+        assert ukey(golden_url) == dk
+        checked += 1
+        if sim_result.statuses.get(dk) == "ok" and psnr_checked < 6:
+            for g in web.images_for(golden_url):
+                er = eng_imgs[g["image_id"]]
+                assert er["caption"] == g["caption"]
+                pix = codecs.decode(bytes(er["bytes"]), er["fmt"])
+                assert codecs.psnr(g["pixels"], pix) >= 40.0
+                psnr_checked += 1
+    assert checked >= 10 and psnr_checked >= 3
 
 
 def test_salted_fetch_mode_order_parity(spark, tmp_path, sim_result):
