@@ -266,8 +266,8 @@ class CrawlEngine:
         self.images.merge(img_rows, summary={"epoch": epoch})
 
         rec_rows = records.select(
-            "entity_id", "entity_name", "change_date", "biz_items", "category",
-            "url_key", F.lit(epoch).alias("epoch"),
+            "entity_id", "entity_name", "entity_names", "change_date", "biz_items",
+            "category", "url_key", F.lit(epoch).alias("epoch"),
         ).dropDuplicates(["entity_id"])
         self.records.merge(rec_rows, summary={"epoch": epoch})
 

@@ -37,6 +37,7 @@ from biz_crawlers_spark.extract.pages import (
     parse_business_items,
     parse_detail_fields,
     parse_roc_date,
+    parse_names,
     parse_school_rows,
     parse_search_results,
     pick_latest,
@@ -51,8 +52,8 @@ STAGE_DDL = (
     "attempts int, host_seq long, partition_id int, scheduled_at double, "
     "image_seq int, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, entity_id string, entity_name string, "
-    "change_date string, biz_items string, category string, discovered_url string, "
-    "priority int, parent_key long"
+    "entity_names string, change_date string, biz_items string, category string, "
+    "discovered_url string, priority int, parent_key long"
 )
 
 _STAGE_COLS = [c.split(":")[0].strip().split(" ")[0] for c in STAGE_DDL.split(", ")]
@@ -118,6 +119,7 @@ def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
     if "統一編號" in fields:
         roc = parse_roc_date(fields.get("核准變更日期", ""))
         items = parse_business_items(fields.get("所營事業資料", ""))
+        names = parse_names(fields.get("公司名稱", ""))  # X19 always-array
         cat = None
         text = body.decode("utf-8", errors="replace")
         if "category:" in text:
@@ -128,7 +130,8 @@ def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
                 url_key=url_key,
                 host=host,
                 entity_id=fields["統一編號"].rjust(8, "0"),  # X16 zero-pad
-                entity_name=fields.get("公司名稱"),
+                entity_name=names[0] if names else None,
+                entity_names=json.dumps(names, ensure_ascii=False),
                 change_date=f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
                 biz_items=json.dumps(items, ensure_ascii=False),
                 category=cat,
@@ -142,6 +145,7 @@ def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
                 host=host,
                 entity_id=tax_id.rjust(8, "0"),
                 entity_name=name,
+                entity_names=json.dumps([name], ensure_ascii=False),
                 category=cat,
                 biz_items="[]",
             )

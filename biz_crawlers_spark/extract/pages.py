@@ -113,6 +113,13 @@ def parse_business_items(s: str) -> list[tuple[str, str]]:
     return out
 
 
+def parse_names(value: str) -> list[str]:
+    """Multi-value name extraction (X19: DetailCrawler.php:495-527) — split
+    lines, trim, keep length>2. The reference returns string-or-array; the
+    engine normalizes the union type to always-array (SURVEY.md §1.2)."""
+    return [n.strip() for n in value.splitlines() if len(n.strip()) > 2]
+
+
 def parse_detail_fields(body: bytes) -> dict[str, str]:
     """Label→value pairs from the detail table (X4 analog:
     DetailCrawler.php:448-599 per-<tr> dispatch)."""

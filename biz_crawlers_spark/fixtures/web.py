@@ -206,6 +206,12 @@ class FixtureWeb:
 
     def _detail_page(self, url: str) -> bytes:
         entity_id, entity_name, category = self.entity_for(url)
+        # X19 union type: a seeded third of entities carry an English name
+        # variant on a second line (the string-or-array shape of
+        # DetailCrawler.php:499-527); extraction must normalize to array
+        key = spark_xxhash64(url)
+        if self._mod(key >> 3, 3) == 0:
+            entity_name = f"{entity_name}\nTest Corp {self._mod(key >> 16, 10000):04d}"
         figs = []
         for img in self.images_for(url):
             b64 = base64.b64encode(img["bytes"]).decode("ascii")

@@ -34,8 +34,8 @@ IMAGES_DDL = (
 )
 
 RECORDS_DDL = (
-    "entity_id string, entity_name string, change_date string, biz_items string, "
-    "category string, url_key long, epoch int"
+    "entity_id string, entity_name string, entity_names string, change_date string, "
+    "biz_items string, category string, url_key long, epoch int"
 )
 
 LINEAGE_DDL = (

@@ -33,6 +33,7 @@ from biz_crawlers_spark.extract.pages import (
     extract_figures,
     parse_business_items,
     parse_detail_fields,
+    parse_names,
     parse_roc_date,
     parse_school_rows,
     parse_search_results,
@@ -166,8 +167,10 @@ class ReferenceSimulator:
         fields = parse_detail_fields(body)
         if "統一編號" in fields:
             roc = parse_roc_date(fields.get("核准變更日期", ""))
+            names = parse_names(fields.get("公司名稱", ""))  # X19 always-array
             r.records[fields["統一編號"].rjust(8, "0")] = {
-                "entity_name": fields.get("公司名稱"),
+                "entity_name": names[0] if names else None,
+                "entity_names": json.dumps(names, ensure_ascii=False),
                 "change_date": f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
                 "biz_items": json.dumps(
                     parse_business_items(fields.get("所營事業資料", "")),
@@ -176,7 +179,9 @@ class ReferenceSimulator:
             }
         for cat, tax_id, name in parse_school_rows(body):
             r.records[tax_id.rjust(8, "0")] = {
-                "entity_name": name, "change_date": None, "biz_items": "[]",
+                "entity_name": name,
+                "entity_names": json.dumps([name], ensure_ascii=False),
+                "change_date": None, "biz_items": "[]",
             }
 
 

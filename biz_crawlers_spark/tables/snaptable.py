@@ -285,3 +285,49 @@ class SnapTable:
         """Rewrite the current snapshot into one fresh file set per bucket
         (collapses append accumulation; analog of small-file compaction)."""
         return self.overwrite(self.read(), summary={**(summary or {}), "compaction": True})
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-shaped maintenance: drop manifests older than the last
+        ``keep_last`` snapshots and delete data files no retained snapshot
+        references. Time travel remains available within the retention
+        window; storage stops growing without bound (at 10^10-row scale the
+        copy-on-write history is the dominant storage cost).
+
+        Safe by construction: the current pointer is never expired, files
+        are unlinked only when unreferenced by EVERY retained manifest."""
+        current = self.current_snapshot_id()
+        if current < 0:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        retained_ids = []
+        sid = current
+        while sid >= 0 and len(retained_ids) < keep_last:
+            retained_ids.append(sid)
+            sid = self._load_manifest(sid)["parent_id"]
+        referenced: set[str] = set()
+        for rid in retained_ids:
+            referenced.update(f["path"] for f in self._load_manifest(rid)["files"])
+        expired = 0
+        deleted = 0
+        mdir = os.path.join(self.path, "manifests")
+        for name in sorted(os.listdir(mdir)):
+            if not name.startswith("snap-"):
+                continue
+            msid = int(name[5:].split(".")[0])
+            if msid in retained_ids:
+                continue
+            m = self._load_manifest(msid)
+            for f in m["files"]:
+                p = os.path.join(self.path, f["path"])
+                if f["path"] not in referenced and os.path.exists(p):
+                    os.unlink(p)
+                    deleted += 1
+            os.unlink(os.path.join(mdir, name))
+            expired += 1
+        # oldest retained manifest becomes the history root
+        if retained_ids:
+            oldest = min(retained_ids)
+            m = self._load_manifest(oldest)
+            if m["parent_id"] >= 0:
+                m["parent_id"] = -1
+                self._atomic_write(self._manifest_path(oldest), json.dumps(m))
+        return {"expired_snapshots": expired, "deleted_files": deleted}

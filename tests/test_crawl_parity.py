@@ -168,11 +168,18 @@ def test_records_parity(engine_run, sim_result):
     rows = eng.records.read().collect()
     eng_rec = {r["entity_id"]: r for r in rows}
     assert set(eng_rec) == set(sim_result.records)
+    multi = 0
     for eid, sr in sim_result.records.items():
         er = eng_rec[eid]
         assert er["entity_name"] == sr["entity_name"]
+        assert er["entity_names"] == sr["entity_names"]
         assert er["change_date"] == sr["change_date"]
         assert er["biz_items"] == sr["biz_items"]
+        import json as _json
+
+        if er["entity_names"] and len(_json.loads(er["entity_names"])) > 1:
+            multi += 1
+    assert multi >= 3, "X19 multi-name union-type variants must be exercised"
 
 
 def test_multi_epoch_budget_order_parity(spark, tmp_path, sim_result):

@@ -109,6 +109,37 @@ def test_reopen_from_disk(tbl, spark, tmp_path):
     assert not SnapTable.exists(str(tmp_path / "nope"))
 
 
+def test_expire_snapshots(tbl, spark):
+    for i in range(6):
+        tbl.append(spark.createDataFrame([(f"{i:08d}", "n", "a", i)], DDL))
+    assert len(tbl.snapshots()) == 6
+    stats = tbl.expire_snapshots(keep_last=2)
+    assert stats["expired_snapshots"] == 4
+    # current data intact, history truncated to the retention window
+    assert tbl.read().count() == 6
+    hist = tbl.snapshots()
+    assert len(hist) == 2
+    # time travel inside the window still works
+    assert tbl.read(snapshot_id=hist[0]["snapshot_id"]).count() == 5
+    # expired data files really gone only when unreferenced: appends share
+    # files across manifests, so nothing referenced was deleted
+    assert tbl.read().count() == 6
+
+
+def test_expire_after_overwrite_deletes_files(tbl, spark):
+    import glob
+    import os
+
+    tbl.append(spark.createDataFrame([("00000001", "a", "x", 1)], DDL))
+    tbl.overwrite(spark.createDataFrame([("00000002", "b", "y", 2)], DDL))
+    n_files_before = len(glob.glob(os.path.join(tbl.path, "data", "*", "*", "*.parquet")))
+    stats = tbl.expire_snapshots(keep_last=1)
+    n_files_after = len(glob.glob(os.path.join(tbl.path, "data", "*", "*", "*.parquet")))
+    assert stats["deleted_files"] >= 1
+    assert n_files_after < n_files_before
+    assert _rows(tbl.read()) == [("00000002", "b", "y", 2)]
+
+
 def test_atomic_pointer(tbl, spark, tmp_path):
     tbl.append(spark.createDataFrame([("00000001", "a", "x", 1)], DDL))
     cur = os.path.join(str(tmp_path / "t"), "_current")
