@@ -72,7 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_distinct_count": Q.r10_distinct_count,
         "r11_anti_join": Q.r11_anti_join,
         "r11_semi_join": Q.r11_semi_join,
+        "x5_shareholder_flatten": Q.x5_shareholder_flatten,
         "x9_roc_date_roundtrip": Q.x9_roc_date_roundtrip,
+        "x12_clean_battery": Q.x12_clean_battery,
         "x16_zero_pad": Q.x16_zero_pad,
         "q_join_revenue_per_nation": Q.q_join_revenue_per_nation,
         "w1_running_sum": Q.w1_running_sum,
@@ -241,7 +243,9 @@ def oracle_sql() -> dict[str, str]:
         "r10_distinct_count": Q.R10_SQL,
         "r11_anti_join": Q.R11_SQL,
         "r11_semi_join": Q.R11_SEMI_SQL,
+        "x5_shareholder_flatten": Q.X5_SQL,
         "x9_roc_date_roundtrip": Q.X9_SQL,
+        "x12_clean_battery": Q.X12_SQL,
         "x16_zero_pad": Q.X16_SQL,
         "q_join_revenue_per_nation": Q.JOIN_SQL,
         "w1_running_sum": Q.W1_SQL,

@@ -35,8 +35,8 @@ from pyspark.storagelevel import StorageLevel
 from biz_crawlers_spark.engine.budget import select_per_host_topk
 from biz_crawlers_spark.engine.stage import STAGE_DDL, make_stage
 from biz_crawlers_spark.filters.bloom import BloomShards
+from biz_crawlers_spark.filters.cuckoo import CuckooShards
 from biz_crawlers_spark.fixtures.web import FixtureWeb, SeedURL
-from biz_crawlers_spark.frontier.canonical import canonicalize, url_host
 from biz_crawlers_spark.frontier.seed import (
     FRONTIER_DDL,
     IMAGES_DDL,
@@ -105,7 +105,8 @@ class CrawlEngine:
         self.lineage = tbl("lineage", LINEAGE_DDL, ["epoch", "partition_id", "host"])
         self.order_log = tbl(
             "order_log",
-            "url_key long, host string, epoch int, host_seq long, status string, attempts int",
+            "url_key long, host string, epoch int, host_seq long, status string, "
+            "attempts int, n_payload int",
             ["url_key"],
         )
         bp = os.path.join(self.workdir, "bloom")
@@ -115,20 +116,51 @@ class CrawlEngine:
             else BloomShards.create(bp, n_shards=bloom_shards, m_bits=bloom_bits, k=bloom_k)
         )
         self._robots_cache: dict[str, list[str]] | None = None
+        if not os.path.exists(self._state_path()):
+            self._record_state(0)
 
     # ---------- state ----------
+    #
+    # The epoch commit is a GROUP of per-table snapshot commits; the state
+    # record makes the group atomic: after every successful epoch (and after
+    # every out-of-band mutation — seeding, repair) the record captures each
+    # table's snapshot id + the Bloom version. resume() rolls any table that
+    # is AHEAD of the record back to it, so a crash between two table commits
+    # can never leave (e.g.) url_keys marked seen without their order_log /
+    # lineage evidence rows (the epoch simply re-runs in full).
+
+    TABLE_NAMES = ("frontier", "seen", "images", "records", "lineage", "order_log")
 
     def _state_path(self) -> str:
         return os.path.join(self.workdir, "_crawl_state.json")
 
-    def current_epoch(self) -> int:
+    def _read_state(self) -> dict:
         if not os.path.exists(self._state_path()):
-            return 0
+            return {"epoch": 0}
         with open(self._state_path()) as f:
-            return json.load(f)["epoch"]
+            return json.load(f)
 
-    def _bump_epoch(self, epoch: int) -> None:
-        SnapTable._atomic_write(self._state_path(), json.dumps({"epoch": epoch + 1}))
+    def current_epoch(self) -> int:
+        return self._read_state()["epoch"]
+
+    def _seen_cuckoo(self) -> CuckooShards | None:
+        """The deletable seen-set mirror, if the repair job has built it
+        (engine/repair.py cuckoo_mirror). Kept in sync per epoch commit."""
+        p = os.path.join(self.workdir, "seen_cuckoo")
+        return CuckooShards(p) if CuckooShards.exists(p) else None
+
+    def _record_state(self, epoch: int) -> None:
+        state = {
+            "epoch": epoch,
+            "snapshots": {
+                n: getattr(self, n).current_snapshot_id() for n in self.TABLE_NAMES
+            },
+            "bloom_version": self.bloom.current_version(),
+        }
+        cf = self._seen_cuckoo()
+        if cf is not None:
+            state["cuckoo_version"] = cf.current_version()
+        SnapTable._atomic_write(self._state_path(), json.dumps(state))
 
     # ---------- seeding / resume ----------
 
@@ -139,10 +171,31 @@ class CrawlEngine:
         """MERGE seeds insert-only: re-seeding never resets done/failed rows
         (the reference's cross-run dedup-before-fetch, D2)."""
         self.frontier.merge(df, prefer="old", summary={"op": "seed"})
+        self._record_state(self.current_epoch())
 
     def resume(self) -> int:
-        """Crash recovery: any in_flight rows (epoch died mid-fetch) go back
-        to pending. Snapshot commits are atomic, so tables are consistent."""
+        """Crash recovery. (1) Epoch atomicity: any table whose current
+        snapshot is ahead of the last recorded state (a crash landed between
+        the epoch's table commits) is rolled back to the record, so the
+        interrupted epoch re-runs in full — no half-committed epoch can leave
+        seen rows without their order_log/lineage evidence. (2) Legacy:
+        in_flight rows go back to pending. Returns rollbacks + restored."""
+        state = self._read_state()
+        n_actions = 0
+        for name, recorded in state.get("snapshots", {}).items():
+            t = getattr(self, name)
+            if t.current_snapshot_id() > recorded:
+                t.rollback(recorded)
+                n_actions += 1
+        bv = state.get("bloom_version")
+        if bv is not None and self.bloom.current_version() > bv:
+            self.bloom._write_pointer(self.bloom.path, bv)
+            n_actions += 1
+        cf = self._seen_cuckoo()
+        cv = state.get("cuckoo_version")
+        if cf is not None and cv is not None and cf.current_version() > cv:
+            cf._write_pointer(cf.path, cv)
+            n_actions += 1
         fr = self.frontier.read()
         stuck = fr.filter(F.col("state") == "in_flight")
         n = stuck.count()
@@ -151,7 +204,8 @@ class CrawlEngine:
                 stuck.withColumn("state", F.lit("pending")),
                 summary={"op": "resume", "restored": n},
             )
-        return n
+            self._record_state(state["epoch"])
+        return n + n_actions
 
     # ---------- robots ----------
 
@@ -191,20 +245,25 @@ class CrawlEngine:
             )
 
         # dedup: Bloom prefilter, exact anti-join only on positives (§4.1)
+        seen_df = self.seen.read()
         checked = self.bloom.prefilter_spark(selected, "url_key").persist(
             StorageLevel.MEMORY_AND_DISK
         )
         n_selected = checked.count()
         negatives = checked.filter(~F.col("maybe_seen")).drop("maybe_seen")
         positives = checked.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = positives.join(self.seen.read(), on="url_key", how="left_anti")
-        batch = negatives.unionByName(survivors)
-        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        n_batch = batch.count()
-        checked.unpersist()
+        survivors = positives.join(seen_df, on="url_key", how="left_anti")
+        batch = negatives.unionByName(survivors).persist(StorageLevel.MEMORY_AND_DISK)
+        # one job yields BOTH the batch size and the robots host list
+        host_counts = batch.groupBy("host").count().collect()
+        n_batch = int(sum(r["count"] for r in host_counts))
         n_deduped = n_selected - n_batch
+        # already-seen rows must leave the pending set THIS epoch (not linger
+        # to be re-selected and re-deduped every remaining epoch)
+        dup_done = positives.join(seen_df, "url_key", "left_semi").select(
+            "url_key", F.lit("done").alias("state")
+        )
         if n_batch == 0:
-            batch.unpersist()
             stats = {"epoch": epoch, "selected": n_selected, "deduped": n_deduped,
                      "fetched": 0, "ok": 0, "failed": 0, "robots_denied": 0,
                      "not_found": 0, "images": 0, "retried": 0, "discovered": 0,
@@ -212,18 +271,19 @@ class CrawlEngine:
             if n_deduped:
                 # mark the all-dup batch done so it leaves the pending set
                 self.frontier.merge(
-                    selected.withColumn("state", F.lit("done")),
-                    summary={"op": "dedup_skip", "epoch": epoch},
+                    dup_done, summary={"op": "dedup_skip", "epoch": epoch},
                 )
-                self._bump_epoch(epoch)
+                self._record_state(epoch + 1)
                 stats["drained"] = False
+            checked.unpersist()
+            batch.unpersist()
             return stats
 
         # Crash-safety needs no in_flight marking: selected rows keep
         # state='pending' until the epoch-end commit, so a crash mid-fetch
-        # simply re-selects them on restart (commits are atomic snapshots).
-        # resume() still repairs legacy/externally-set in_flight rows.
-        hosts = [r["host"] for r in batch.select("host").distinct().collect()]
+        # simply re-selects them on restart (commits are atomic snapshots,
+        # and the epoch GROUP is atomic via the state record + resume()).
+        hosts = [r["host"] for r in host_counts]
         robots = self._robots_for(hosts)
 
         # fetch+extract — strict mode: partitioned BY HOST (global politeness
@@ -259,45 +319,35 @@ class CrawlEngine:
         discovered = fetched.filter(F.col("row_type") == "discovered")
 
         # --- commits ---
+        # Per-table commits are atomic; the GROUP is made atomic by the state
+        # record written at the end (resume() rolls back any table that is
+        # ahead of the record, so a crash anywhere in this sequence re-runs
+        # the epoch in full — no seen rows without evidence rows, ADVICE r1).
         img_rows = images.select(
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             "url_key", F.col("image_seq").alias("seq"), F.lit(epoch).alias("epoch"),
-        )
+        ).dropDuplicates(["image_id"])  # same bytes on two pages in one epoch
         self.images.merge(img_rows, summary={"epoch": epoch})
 
         rec_rows = records.select(
-            "entity_id", "entity_name", "entity_names", "change_date", "biz_items",
+            "entity_id", "entity_name", "entity_names", "address", "change_date",
+            "biz_items", "shareholders", "managers", "capital", "parse_mode",
             "category", "url_key", F.lit(epoch).alias("epoch"),
         ).dropDuplicates(["entity_id"])
         self.records.merge(rec_rows, summary={"epoch": epoch})
-
-        n_discovered = 0
-        disc = discovered.select("discovered_url", "priority").distinct().collect()
-        if disc:
-            new_seeds = [
-                SeedURL(r["discovered_url"], 0, 0, _page_of(r["discovered_url"]),
-                        r["priority"] or 0, url_host(r["discovered_url"]))
-                for r in disc
-            ]
-            from biz_crawlers_spark.frontier.canonical import url_key as _ukey
-
-            rows = [
-                (_ukey(s.url), canonicalize(s.url), s.host, s.org_idx, s.type_idx,
-                 s.page, s.priority, "pending", 0, epoch + 1, epoch + 1)
-                for s in new_seeds
-            ]
-            ndf = self.spark.createDataFrame(rows, FRONTIER_DDL)
-            self.frontier.merge(ndf, prefer="old", summary={"op": "discover", "epoch": epoch})
-            n_discovered = len(rows)
 
         term_ok = statuses.filter(F.col("status").isin("ok", "not_found"))
         seen_rows = term_ok.select("url_key", F.lit(epoch).alias("seen_epoch"))
         self.seen.append(seen_rows, summary={"epoch": epoch})
         self.bloom.add_spark(term_ok.select("url_key"), "url_key")
+        cf = self._seen_cuckoo()
+        if cf is not None:  # keep the deletable mirror in lockstep (D6)
+            cf.add_spark(term_ok.select("url_key"), "url_key")
 
-        # frontier state transitions apply to FRONTIER rows only; two-hop
-        # detail fetches (parent_key set) are derived requests — they are
-        # seen-tracked and lineage-counted but never join the frontier
+        # frontier: ONE fused merge — fetched-state transitions + dedup-done
+        # marks + discovered inserts. State transitions apply to FRONTIER
+        # rows only; two-hop detail fetches (parent_key set) are derived
+        # requests — seen-tracked and lineage-counted but never frontier rows.
         state_upd = statuses.filter(F.col("parent_key").isNull()).select(
             "url_key",
             F.when(F.col("status").isin("ok", "not_found"), "done")
@@ -306,7 +356,39 @@ class CrawlEngine:
             .alias("state"),
             F.col("attempts").alias("retries"),
         )
-        self.frontier.merge(state_upd, summary={"op": "epoch_end", "epoch": epoch})
+        # F4 discoveries stay distributed: url_key/host/page derived with
+        # column expressions from the (already canonical) discovered_url —
+        # no driver collect, no createDataFrame round-trip
+        ndf = (
+            discovered.select(
+                F.xxhash64("discovered_url").alias("url_key"),
+                F.col("discovered_url").alias("canonical_url"),
+                F.lower(F.parse_url("discovered_url", F.lit("HOST"))).alias("host"),
+                F.lit(0).alias("org_idx"),
+                F.lit(0).alias("type_idx"),
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_extract("discovered_url", r"[?&]pages=(\d+)", 1),
+                        F.lit(""),
+                    ).cast("int"),
+                    F.lit(0),
+                ).alias("page"),
+                F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
+                F.lit("pending").alias("state"),
+                F.lit(0).alias("retries"),
+                F.lit(epoch + 1).alias("not_before"),
+                F.lit(epoch + 1).alias("discovered_epoch"),
+            )
+            .dropDuplicates(["url_key"])
+            # re-discovered URLs never reset existing rows (insert-only)
+            .join(fr.select("url_key"), "url_key", "left_anti")
+        )
+        frontier_updates = ndf.unionByName(
+            state_upd, allowMissingColumns=True
+        ).unionByName(dup_done, allowMissingColumns=True)
+        self.frontier.merge(
+            frontier_updates, summary={"op": "epoch_end", "epoch": epoch}
+        )
 
         # crawl-order evidence: per-host sequence of url_keys. host_seq is
         # DERIVED from the deterministic order key (window row_number), not
@@ -318,13 +400,13 @@ class CrawlEngine:
         w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
         ordered = (
             batch.select("url_key", "host", *order_cols[:-1])
-            .join(statuses.select("url_key", "status", "attempts"), "url_key")
+            .join(statuses.select("url_key", "status", "attempts", "n_payload"), "url_key")
             .withColumn("host_seq", F.row_number().over(w).cast("long") - 1)
         )
         self.order_log.append(
             ordered.select(
                 "url_key", "host", F.lit(epoch).alias("epoch"), "host_seq",
-                "status", "attempts",
+                "status", "attempts", "n_payload",
             ),
             summary={"epoch": epoch},
             bucketize=False,  # append-only evidence table, never MERGEd
@@ -353,6 +435,7 @@ class CrawlEngine:
         )
         self.lineage.append(lineage_rows, summary={"epoch": epoch}, bucketize=False)
 
+        n_discovered = ndf.count()
         agg = statuses.groupBy().agg(
             F.sum((F.col("status") != "robots_denied").cast("long")).alias("fetched"),
             F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
@@ -365,12 +448,13 @@ class CrawlEngine:
         ).collect()[0]
         n_images = images.count()
 
+        checked.unpersist()
         batch.unpersist()
         if not self.keep_staging:
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
-        self._bump_epoch(epoch)
+        self._record_state(epoch + 1)
         return {
             "epoch": epoch, "selected": n_selected, "deduped": n_deduped,
             "fetched": agg["fetched"] or 0, "ok": agg["ok"] or 0,
@@ -389,11 +473,3 @@ class CrawlEngine:
         return out
 
 
-def _page_of(url: str) -> int:
-    from urllib.parse import parse_qs, urlsplit
-
-    q = parse_qs(urlsplit(url).query)
-    try:
-        return int(q.get("pages", ["0"])[0])
-    except ValueError:
-        return 0

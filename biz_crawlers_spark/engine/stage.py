@@ -32,12 +32,9 @@ import pandas as pd
 
 from biz_crawlers_spark import codecs
 from biz_crawlers_spark.extract.pages import (
+    build_entity_record,
     classify_page,
     extract_figures,
-    parse_business_items,
-    parse_detail_fields,
-    parse_roc_date,
-    parse_names,
     parse_school_rows,
     parse_search_results,
     pick_latest,
@@ -52,8 +49,10 @@ STAGE_DDL = (
     "attempts int, host_seq long, partition_id int, scheduled_at double, "
     "image_seq int, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, entity_id string, entity_name string, "
-    "entity_names string, change_date string, biz_items string, category string, "
-    "discovered_url string, priority int, parent_key long"
+    "entity_names string, address string, change_date string, biz_items string, "
+    "shareholders string, managers string, capital string, parse_mode string, "
+    "category string, discovered_url string, priority int, parent_key long, "
+    "n_payload int"
 )
 
 _STAGE_COLS = [c.split(":")[0].strip().split(" ")[0] for c in STAGE_DDL.split(", ")]
@@ -66,7 +65,7 @@ TERMINAL_OK = ("ok", "not_found")
 _INT_COLS = {
     "url_key": "Int64", "phash": "Int64", "host_seq": "Int64", "attempts": "Int32",
     "partition_id": "Int32", "image_seq": "Int32", "w": "Int32", "h": "Int32",
-    "priority": "Int32",
+    "priority": "Int32", "n_payload": "Int32",
 }
 
 
@@ -114,29 +113,19 @@ def _decode_figures(body: bytes, url_key: int, host: str) -> list[dict]:
 
 
 def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
+    """Full detail-record extraction (X4-X8, X12, X13, X19): delegated to the
+    shared ``build_entity_record`` (extract/pages.py) so the Spark stage and
+    the reference simulator parse identically; the stage only maps the record
+    dict onto the staging schema."""
     out = []
-    fields = parse_detail_fields(body)
-    if "統一編號" in fields:
-        roc = parse_roc_date(fields.get("核准變更日期", ""))
-        items = parse_business_items(fields.get("所營事業資料", ""))
-        names = parse_names(fields.get("公司名稱", ""))  # X19 always-array
+    rec = build_entity_record(body)
+    if rec is not None:
         cat = None
         text = body.decode("utf-8", errors="replace")
         if "category:" in text:
             cat = text.split("category:", 1)[1].split("<", 1)[0]
-        out.append(
-            _blank_row(
-                row_type="record",
-                url_key=url_key,
-                host=host,
-                entity_id=fields["統一編號"].rjust(8, "0"),  # X16 zero-pad
-                entity_name=names[0] if names else None,
-                entity_names=json.dumps(names, ensure_ascii=False),
-                change_date=f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
-                biz_items=json.dumps(items, ensure_ascii=False),
-                category=cat,
-            )
-        )
+        out.append(_blank_row(row_type="record", url_key=url_key, host=host,
+                              category=cat, **rec))
     for cat, tax_id, name in parse_school_rows(body):
         out.append(
             _blank_row(
@@ -148,6 +137,10 @@ def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
                 entity_names=json.dumps([name], ensure_ascii=False),
                 category=cat,
                 biz_items="[]",
+                shareholders="[]",
+                managers="[]",
+                capital="[]",
+                parse_mode="dom",
             )
         )
     return out
@@ -164,7 +157,12 @@ def _discoveries(url: str, body: bytes, url_key: int, host: str, priority: int) 
     if not parse_school_rows(body):
         return []
     cur = int(parse_qs(u.query).get("pages", ["1"])[0])
-    nxt = f"{u.scheme}://{u.netloc}{u.path}?pages={cur + 1}"
+    # emitted in CANONICAL form: the driver derives url_key with the
+    # JVM-side F.xxhash64(discovered_url) — no driver-side re-canonicalize,
+    # no collect (F4 stays distributed end-to-end)
+    from biz_crawlers_spark.frontier.canonical import canonicalize
+
+    nxt = canonicalize(f"{u.scheme}://{u.netloc}{u.path}?pages={cur + 1}")
     return [
         _blank_row(
             row_type="discovered",
@@ -244,12 +242,19 @@ def make_stage(
                         _blank_row(
                             row_type="status", url_key=row.url_key, canonical_url=url,
                             host=host, status=status, attempts=attempts, host_seq=seq,
-                            partition_id=pid, scheduled_at=t,
+                            partition_id=pid, scheduled_at=t, n_payload=0,
                         )
                     )
+                    sidx = len(out) - 1
                     if status == "ok":
-                        out.extend(_decode_figures(body, row.url_key, host))
-                        out.extend(_extract_record(body, row.url_key, host))
+                        payload = _decode_figures(body, row.url_key, host)
+                        payload += _extract_record(body, row.url_key, host)
+                        out.extend(payload)
+                        # n_payload on the status row is what lets the repair
+                        # job (D6) distinguish "payload lost" from "page that
+                        # legitimately commits nothing under its own key"
+                        # (search pages — their payload lands under d_key)
+                        out[sidx]["n_payload"] = len(payload)
                         out.extend(
                             _discoveries(url, body, row.url_key, host, row.priority)
                         )
@@ -271,11 +276,15 @@ def make_stage(
                                     status=d_status, attempts=d_attempts,
                                     host_seq=None, partition_id=pid,
                                     scheduled_at=t, parent_key=row.url_key,
+                                    n_payload=0,
                                 )
                             )
+                            didx = len(out) - 1
                             if d_status == "ok":
-                                out.extend(_decode_figures(d_body, d_key, host))
-                                out.extend(_extract_record(d_body, d_key, host))
+                                d_payload = _decode_figures(d_body, d_key, host)
+                                d_payload += _extract_record(d_body, d_key, host)
+                                out.extend(d_payload)
+                                out[didx]["n_payload"] = len(d_payload)
                 host_clock[host] = t
             yield _to_frame(out)
 

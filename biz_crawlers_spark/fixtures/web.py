@@ -204,14 +204,7 @@ class FixtureWeb:
             for k in range(self.n_images_for(url))
         ]
 
-    def _detail_page(self, url: str) -> bytes:
-        entity_id, entity_name, category = self.entity_for(url)
-        # X19 union type: a seeded third of entities carry an English name
-        # variant on a second line (the string-or-array shape of
-        # DetailCrawler.php:499-527); extraction must normalize to array
-        key = spark_xxhash64(url)
-        if self._mod(key >> 3, 3) == 0:
-            entity_name = f"{entity_name}\nTest Corp {self._mod(key >> 16, 10000):04d}"
+    def _figures_html(self, url: str) -> str:
         figs = []
         for img in self.images_for(url):
             b64 = base64.b64encode(img["bytes"]).decode("ascii")
@@ -219,17 +212,134 @@ class FixtureWeb:
                 f'<figure><img src="data:image/{img["fmt"]};base64,{b64}"/>'
                 f"<figcaption>{img['caption']}</figcaption></figure>"
             )
-        rows = (
-            f"<tr><td>統一編號</td><td>{entity_id}</td></tr>"
-            f"<tr><td>公司名稱</td><td>{entity_name}</td></tr>"
-            f"<tr><td>核准變更日期</td><td>114年03月05日</td></tr>"
-            f"<tr><td>所營事業資料</td><td>F102030 餐館業 F203010 食品什貨</td></tr>"
+        return "".join(figs)
+
+    def _dirty_address(self, key: int) -> str:
+        """Address dirt exercising the X4 cleanup (truncate at CR, strip all
+        whitespace and &nbsp; — DetailCrawler.php:533-545): cleans to
+        台北市測試N區範例路M號."""
+        return (
+            f"台北市測試{self._mod(key >> 7, 9)}區&nbsp;範例 路"
+            f"{self._mod(key >> 11, 200) + 1}號\r已了解，開始查詢"
         )
-        html = (
-            f"<html><body><div id='tabCmpyContent'><table>{rows}</table></div>"
-            f"<div class='seals'>{''.join(figs)}</div>"
-            f"<p>category:{category}</p></body></html>"
-        )
+
+    def _shareholder_rows(self, key: int) -> str:
+        """X5 shape (DetailCrawler.php:604-653): exactly-5-td rows; the
+        所代表法人 cell cycles the union type — queryCmpy legal-entity link /
+        plain string / empty."""
+        titles = ["董事長", "董事", "監察人"]
+        rows = []
+        for i in range(1 + self._mod(key >> 5, 3)):
+            name = f"股東{chr(65 + i)}{self._mod(key >> (13 + i), 100):02d}"
+            v = self._mod(key >> (17 + i), 3)
+            if v == 0:
+                lid = self._mod(key >> (19 + i), 10**8)
+                lname = f"法人投資{self._mod(key >> (25 + i), 100):02d}"
+                legal = (
+                    f"<a href=\"#\" onclick=\"queryCmpy('{lname}','{lid:08d}',1)\">"
+                    f"{lname}</a>"
+                )
+            elif v == 1:
+                legal = "個人股東"
+            else:
+                legal = ""
+            stake = str(1000 * (i + 1) + self._mod(key >> 21, 1000))
+            rows.append(
+                f"<tr><td>{i + 1}</td><td>{titles[i % 3]}</td><td>{name}</td>"
+                f"<td>{legal}</td><td>{stake}</td></tr>"
+            )
+        return "".join(rows)
+
+    def _manager_rows(self, key: int) -> str:
+        """X6 shape (DetailCrawler.php:656-695): exactly-3-td rows with a ROC
+        就任日期."""
+        rows = []
+        for i in range(self._mod(key >> 9, 3)):
+            yy = 100 + self._mod(key >> (23 + i), 20)
+            mm = 1 + self._mod(key >> (27 + i), 12)
+            dd = 1 + self._mod(key >> (31 + i), 28)
+            rows.append(
+                f"<tr><td>{i + 1}</td><td>經理{chr(65 + i)}{self._mod(key >> 15, 100):02d}</td>"
+                f"<td>{yy}年{mm}月{dd}日</td></tr>"
+            )
+        return "".join(rows)
+
+    def _detail_page(self, url: str) -> bytes:
+        """Company detail page (DOM grammar), business detail page (nested
+        capital table), or malformed-but-salvageable page (txt_td grammar →
+        the X8 regex-fallback path), chosen deterministically from the URL."""
+        entity_id, entity_name, category = self.entity_for(url)
+        key = spark_xxhash64(url)
+        u = urlsplit(url)
+        fname = parse_qs(u.query).get("fileName", [""])[0]
+        figs = self._figures_html(url)
+        # X19 union type: a seeded third of entities carry an English name
+        # variant on a second line (the string-or-array shape of
+        # DetailCrawler.php:499-527); extraction must normalize to array
+        if self._mod(key >> 3, 3) == 0:
+            entity_name = f"{entity_name}\nTest Corp {self._mod(key >> 16, 10000):04d}"
+        # X13 dirt: a seeded fifth embeds a JSON-breaking control char the
+        # sanitizer (DetailCrawler.php:1064-1076) must strip
+        if self._mod(key >> 6, 5) == 0:
+            entity_name = f"{entity_name}\x01"
+        if fname.startswith("A"):  # business registry page (area-code report)
+            cap_rows = []
+            for i in range(1 + self._mod(key >> 5, 3)):
+                person = f"合夥人{chr(65 + i)}{self._mod(key >> (13 + i), 100):02d}"
+                amt = 10000 * (i + 1) + self._mod(key >> (19 + i), 10000)
+                cap_rows.append(
+                    f"<tr><td>負責人姓名</td><td><table><tr><td>{person}</td>"
+                    f"<td>出資額(元):{amt}</td></tr></table></td></tr>"
+                )
+            rows = (
+                f"<tr><td>商業統一編號</td><td>{entity_id}</td></tr>"
+                f"<tr><td>商業名稱</td><td>{entity_name}</td></tr>"
+                f"<tr><td>地址</td><td>{self._dirty_address(key)}</td></tr>"
+                f"<tr><td>核准變更日期</td><td>114年03月05日</td></tr>"
+                + "".join(cap_rows)
+                + "<tr><td>營業項目</td><td>F102030 餐館業 2 F203010 食品什貨 15</td></tr>"
+            )
+            html = (
+                f"<html><body><div id='tabBusmContent'><table><tbody>{rows}"
+                f"</tbody></table></div><div class='seals'>{figs}</div>"
+                f"<p>category:{category}</p></body></html>"
+            )
+        elif self._mod(key >> 2, 13) == 0:
+            # malformed primary grammar: txt_td cells only — the X8 fallback
+            # whitelist + X12 cleaning battery must salvage this page
+            name_line = entity_name.splitlines()[0]
+            rows = (
+                f'<tr><td class="txt_td">統一編號</td><td>{entity_id}</td></tr>'
+                f'<tr><td class="txt_td">公司名稱</td><td>{name_line}   訂閱</td></tr>'
+                f'<tr><td class="txt_td">公司所在地</td><td>台北市測試{self._mod(key >> 7, 9)}區'
+                f"範例路{self._mod(key >> 11, 200) + 1}號 電子地圖 地址所屬公司家數: 3</td></tr>"
+                f'<tr><td class="txt_td">登記機關</td><td>測試市政府 客服專線：0800-000-000</td></tr>'
+                f'<tr><td class="txt_td">資本總額(元)</td><td>1,000,000</td></tr>'
+                f'<tr><td class="txt_td">最後核准變更日期</td><td>114年03月05日</td></tr>'
+                f'<tr><td class="txt_td">所營事業資料</td><td>F102030 餐館業 F203010 食品什貨</td></tr>'
+            )
+            html = (
+                f"<html><body><div id='tabCmpyContent'><table>{rows}</table></div>"
+                f"<div class='seals'>{figs}</div>"
+                f"<p>category:{category}</p></body></html>"
+            )
+        else:
+            rows = (
+                f"<tr><td>統一編號</td><td>{entity_id}</td></tr>"
+                f"<tr><td>公司名稱</td><td>{entity_name}</td></tr>"
+                f"<tr><td>公司所在地</td><td>{self._dirty_address(key)}</td></tr>"
+                f"<tr><td>核准變更日期</td><td>114年03月05日</td></tr>"
+                f"<tr><td>所營事業資料</td><td>F102030 餐館業 F203010 食品什貨</td></tr>"
+            )
+            html = (
+                f"<html><body><div id='tabCmpyContent'><table>{rows}</table></div>"
+                f"<div id='tabShareHolderContent'><table></table>"
+                f"<table><tbody>{self._shareholder_rows(key)}</tbody></table></div>"
+                f"<div id='tabMgrContent'><table><tbody>{self._manager_rows(key)}"
+                f"</tbody></table></div>"
+                f"<div class='seals'>{figs}</div>"
+                f"<p>category:{category}</p></body></html>"
+            )
         pad = max(0, 1200 - len(html.encode("utf-8")))  # clear the 1000-byte gate
         return (html + "<!--" + "x" * pad + "-->").encode("utf-8")
 
@@ -272,19 +382,23 @@ class FixtureWeb:
         return pick_latest(parse_search_results(self._search_page(search_url)))
 
     def _school_page(self, page: int) -> bytes:
-        if page > self.school_pages:
-            return "<html><body><table summary='訊息列表'></table></body></html>".encode("utf-8")
+        """School pages carry the same comment padding as detail/search pages:
+        a real empty list page is a normal full-sized response (pagination
+        ends on zero ROWS, not on the junk gate — SchoolCrawler.php:24-27),
+        and content pages must clear MIN_PAGE_BYTES with margin so a small
+        row-count change can't silently flip the whole crawl to junk."""
         rows = []
-        for i in range(self.rows_per_school_page):
-            n = (page - 1) * self.rows_per_school_page + i
-            cls = "td_style01" if i % 2 == 0 else "td_style02"
-            rows.append(
-                f"<tr class='{cls}'><td>{n}</td><td>大專校院</td>"
-                f"<td>{(30000000 + n):08d}</td><td>學校{n:03d}</td></tr>"
-            )
-        return (
-            "<html><body><table summary='訊息列表'>" + "".join(rows) + "</table></body></html>"
-        ).encode("utf-8")
+        if page <= self.school_pages:
+            for i in range(self.rows_per_school_page):
+                n = (page - 1) * self.rows_per_school_page + i
+                cls = "td_style01" if i % 2 == 0 else "td_style02"
+                rows.append(
+                    f"<tr class='{cls}'><td>{n}</td><td>大專校院</td>"
+                    f"<td>{(30000000 + n):08d}</td><td>學校{n:03d}</td></tr>"
+                )
+        html = "<html><body><table summary='訊息列表'>" + "".join(rows) + "</table></body></html>"
+        pad = max(0, 1200 - len(html.encode("utf-8")))
+        return (html + "<!--" + "x" * pad + "-->").encode("utf-8")
 
     # ---------- fetch ----------
 

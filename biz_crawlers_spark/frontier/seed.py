@@ -33,9 +33,14 @@ IMAGES_DDL = (
     "phash long, url_key long, seq int, epoch int"
 )
 
+# The full detail-record surface (X4-X8): names are always-array (X19 union
+# normalize), shareholders/managers/capital are JSON-encoded nested lists
+# (query them typed via queries.records_nested / F.from_json), parse_mode
+# records whether the DOM grammar or the X8 regex fallback produced the row.
 RECORDS_DDL = (
-    "entity_id string, entity_name string, entity_names string, change_date string, "
-    "biz_items string, category string, url_key long, epoch int"
+    "entity_id string, entity_name string, entity_names string, address string, "
+    "change_date string, biz_items string, shareholders string, managers string, "
+    "capital string, parse_mode string, category string, url_key long, epoch int"
 )
 
 LINEAGE_DDL = (

@@ -26,8 +26,6 @@ Scale notes (10^10-document framing):
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -64,9 +62,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → distinct character n-grams (the exact similarity basis)."""
-    d = _docs(spark, sf_dir)
-    norm = _norm_text()
+    """doc_id → distinct character n-grams (the exact similarity basis).
+
+    The normalized text is materialized BEHIND A SHUFFLE before the
+    per-gram ``transform`` lambda: referencing the norm expression directly
+    inside the lambda makes Catalyst re-evaluate the regexp_replace once per
+    gram element (~200× per doc — measured 18 s of pure regexp at sf0.1);
+    the exchange pins ``norm`` as a physical column so each substr reads a
+    computed value. Doubles as the parallelism spreader for the small
+    single-partition parquet input."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _norm_text().alias("norm"))
+        .repartition(par, "doc_id")
+    )
+    norm = F.col("norm")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - (NGRAM - 1), F.lit(1))),
@@ -77,25 +88,49 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join:
-    explode distinct shingles, join on shingle (only docs sharing ≥1 shingle
-    ever meet), count intersections, compute |A∩B| / (|A|+|B|−|A∩B|)."""
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("grams").alias("n_grams"))
-    posts = sh.select("doc_id", F.explode("grams").alias("g"))
-    a = posts.alias("a")
-    b = posts.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    """Exact n-gram Jaccard pairs ≥ threshold via a PREFIX-FILTERED
+    inverted-index self-join (Xiao et al., "Efficient Similarity Joins for
+    Near Duplicate Detection", WWW'08; Bayardo et al. WWW'07):
+
+    1. sort each doc's distinct shingles by a global total order and post
+       only the first |g| − ⌈t·|g|⌉ + 1 of them — any pair with J ≥ t must
+       share its smallest common shingle inside BOTH prefixes, so the
+       equality join on prefix postings generates a candidate superset
+       while shuffling ~(1−t) of the postings the full inverted index would;
+    2. length filter: |B| ≥ t·|A| (overlap ≥ t·max(|A|,|B|)) prunes cheaply;
+    3. exact verification: join the full gram arrays back for candidates
+       only and compute |A∩B| with array_intersect (JVM-side).
+
+    Output is IDENTICAL to the unfiltered exact join (the DuckDB oracle
+    replicates it with the plain full-index SQL); only the shuffle shrinks —
+    at 10^10 docs the hot-shingle postings are the skew bottleneck and the
+    prefix cut is what keeps them bounded."""
+    sh = _shingles_df(spark, sf_dir).withColumn("grams", F.array_sort("grams"))
+    n = F.size("grams")
+    plen = F.greatest(n - F.ceil(n * F.lit(JACCARD_T)).cast("int") + 1, F.lit(1))
+    posts = sh.select(
+        "doc_id", n.alias("n_grams"), F.explode(F.slice("grams", F.lit(1), plen)).alias("g")
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ t needs t·max ≤ overlap ≤ min
+            & (F.col("b.n_grams") >= F.col("a.n_grams") * JACCARD_T)
+            & (F.col("a.n_grams") >= F.col("b.n_grams") * JACCARD_T),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = inter / (F.size("grams_a") + F.size("grams_b") - inter)
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
         .orderBy("id_a", "id_b")
@@ -103,32 +138,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → MinHash signature (array<long>, k=MINHASH_K). One Arrow batch
-    per call; shingle → crc32 (C speed) → k permutations via vectorized
-    splitmix64(crc ^ seed_p) — no per-row Python beyond the string shingling
-    itself."""
-    # small parquet inputs arrive as one partition; spread the signature
-    # computation across the cluster before the Python stage
-    par = spark.sparkContext.defaultParallelism
-    sh = _shingles_df(spark, sf_dir).repartition(par, "doc_id")
+    """doc_id → MinHash signature (array<long>, k=MINHASH_K).
+
+    Fully vectorized two-stage split: gram hashing runs JVM-SIDE
+    (``transform(grams, g -> crc32(encode(g)))`` — whole-stage codegen,
+    bit-identical to zlib.crc32), then ONE numpy pass per Arrow batch builds
+    all signatures at once: flatten every doc's crc array, apply the k=64
+    splitmix64 permutations over the flat array, and segment-min with
+    ``np.minimum.reduceat`` — zero per-row Python, zero per-gram Python
+    (the round-1 per-row `[zlib.crc32(g) for g in grams]` list comprehension
+    was 37% of the whole bench)."""
+    sh = _shingles_df(spark, sf_dir)  # already spread across the cluster
     k = MINHASH_K
     seeds = np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    crcs = F.transform("grams", lambda g: F.crc32(F.encode(g, "utf-8")))
+    # empty docs hash a single 0 gram (keeps every reduceat segment non-empty
+    # and reproduces the round-1 crcs=[0] fallback exactly)
+    crcs = F.when(F.size(crcs) == 0, F.array(F.lit(0).cast("long"))).otherwise(crcs)
+    hashed = sh.select("doc_id", crcs.alias("crcs"))
 
     def sig_batches(it):
         for pdf in it:
-            out_ids, out_sigs = [], []
-            for doc_id, grams in zip(pdf["doc_id"], pdf["grams"]):
-                crcs = np.array(
-                    [zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64
-                )
-                if len(crcs) == 0:
-                    crcs = np.array([0], dtype=np.uint64)
-                hs = splitmix64(crcs[:, None] ^ seeds[None, :])  # (n, k)
-                out_ids.append(doc_id)
-                out_sigs.append(hs.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.uint64) for a in pdf["crcs"]]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((len(lens), len(seeds)), dtype=np.int64)
+            for p, seed in enumerate(seeds):
+                hs = splitmix64(flat ^ seed)
+                sig[:, p] = np.minimum.reduceat(hs, starts).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(sig)})
 
-    return sh.mapInPandas(sig_batches, "doc_id long, sig array<long>")
+    return hashed.mapInPandas(sig_batches, "doc_id long, sig array<long>")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,31 +232,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     agrees exactly on ≥1 band)."""
     d = _docs(spark, sf_dir)
 
+    # token hashing JVM-side (codegen'd): lower → whitespace split → drop
+    # empties (mirrors Python str.split()) → crc32 per token
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    tok_crcs = F.transform(toks, lambda t: F.crc32(F.encode(t, "utf-8")))
+
     def sim_batches(it):
+        """One numpy pass per Arrow batch: flatten all token hashes, then per
+        bit position segment-sum the bit columns with np.add.reduceat — no
+        per-row Python, no (n_tokens × 64) materialization. Bit-identical to
+        the round-1 per-row loop (bit j of the hash lands at sim bit 63-j)."""
         for pdf in it:
-            ids, sims = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.lower().split()
-                if not toks:
-                    ids.append(doc_id)
-                    sims.append(0)
-                    continue
-                hs = splitmix64(
-                    np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                    np.int64
-                )
-                v = (2 * bits - 1).sum(axis=0)
-                sim = 0
-                for bit in (v > 0).astype(np.uint64):
-                    sim = (sim << 1) | int(bit)
-                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
-                ids.append(doc_id)
-            yield pd.DataFrame({"doc_id": ids, "simhash": sims})
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.uint64) for a in pdf["crcs"]]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            nonempty = lens > 0
+            sims = np.zeros(len(lens), dtype=np.uint64)
+            if nonempty.any():
+                flat = splitmix64(np.concatenate(arrs))
+                ne_lens = lens[nonempty]
+                starts = np.zeros(len(ne_lens), dtype=np.int64)
+                np.cumsum(ne_lens[:-1], out=starts[1:])
+                word = np.zeros(len(ne_lens), dtype=np.uint64)
+                for j in range(64):
+                    ones = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1), starts)
+                    pos = (2 * ones.astype(np.int64) - ne_lens) > 0  # sum(2b-1) > 0
+                    word |= pos.astype(np.uint64) << np.uint64(63 - j)
+                sims[nonempty] = word
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": sims.view(np.int64)}
+            )
 
     sims = (
-        d.select("doc_id", "text")
+        d.select("doc_id", tok_crcs.alias("crcs"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .mapInPandas(sim_batches, "doc_id long, simhash long")
     )

@@ -340,6 +340,146 @@ FROM customer ORDER BY c_custkey LIMIT 500
 """
 
 
+# ---------- X5 nested flatten / X12 cleaning battery ----------
+
+# Typed view over the records table's JSON-encoded nested columns — how a
+# consumer queries shareholders/managers/capital (engine/stage.py populates
+# them; schemas mirror DetailCrawler.php:604-695, :783-829)
+SHAREHOLDERS_SCHEMA = (
+    "array<struct<seq:string,title:string,name:string,"
+    "legal_id:string,legal_name:string,stake:string>>"
+)
+MANAGERS_SCHEMA = (
+    "array<struct<seq:string,name:string,"
+    "date:struct<year:int,month:int,day:int>>>"
+)
+CAPITAL_SCHEMA = "array<struct<name:string,amount:long>>"
+
+
+def records_nested(records: DataFrame) -> DataFrame:
+    """records with shareholders/managers/capital parsed into typed arrays
+    (from_json over the JSON-string storage columns)."""
+    return records.withColumns(
+        {
+            "shareholders": F.from_json("shareholders", SHAREHOLDERS_SCHEMA),
+            "managers": F.from_json("managers", MANAGERS_SCHEMA),
+            "capital": F.from_json("capital", CAPITAL_SCHEMA),
+        }
+    )
+
+
+def x5_shareholder_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 flatten evidence on oracle-checkable data: build a JSON-encoded
+    shareholder-like array per customer (the records table's storage shape),
+    re-type it with from_json, explode, aggregate — exactly the
+    records_nested consumption path of the engine's shareholders column."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    j = o.groupBy("o_custkey").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderkey").alias("seq"),
+                        F.col("o_totalprice").alias("stake"),
+                    )
+                )
+            )
+        ).alias("shareholders")
+    )
+    parsed = j.select(
+        "o_custkey",
+        F.explode(
+            F.from_json("shareholders", "array<struct<seq:long,stake:double>>")
+        ).alias("sh"),
+    )
+    return (
+        parsed.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_shareholders"),
+            F.round(F.sum("sh.stake"), 2).alias("total_stake"),
+            F.min("sh.seq").alias("first_seq"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+X5_SQL = """
+SELECT o_custkey, count(*) AS n_shareholders,
+       round(sum(o_totalprice), 2) AS total_stake,
+       min(o_orderkey) AS first_seq
+FROM orders WHERE o_custkey <= 300
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def _clean_battery_col(col: F.Column) -> F.Column:
+    """X12 as a JVM-side chained-regexp_replace expression (codegen'd) —
+    the column-expression form of extract.pages.clean_field_value
+    (DetailCrawler.php:978-1007)."""
+    c = F.regexp_replace(col, r"[\r\n\t]+", " ")
+    for pat in (
+        r"\s*訂閱\s*$", r"\s*Google搜尋\s*", r"\s*電子地圖\s*",
+        r"\s*地址所屬公司家數:\s*\d+\s*", r"客服專線：.*?$", r"\s*關閉\s*$",
+    ):
+        c = F.regexp_replace(c, pat, "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def x12_clean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 cleaning battery over oracle-checkable data: dirty strings are
+    synthesized from part names with the reference's boilerplate suffixes,
+    cleaned with the chained-regexp battery on both sides."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    dirty = F.concat(
+        F.col("p_name"), F.lit("\t電子地圖 地址所屬公司家數: 42"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(" 客服專線：0800-000-000"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("  Google搜尋  訂閱"))
+        .otherwise(F.lit(" 關閉")),
+    )
+    return (
+        p.select(
+            "p_partkey",
+            dirty.alias("dirty"),
+            _clean_battery_col(dirty).alias("cleaned"),
+            (_clean_battery_col(dirty) == F.col("p_name")).alias("roundtrip"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+X12_SQL = r"""
+WITH d AS (
+  SELECT p_partkey, p_name,
+         p_name || chr(9) || '電子地圖 地址所屬公司家數: 42' ||
+         CASE WHEN p_partkey % 3 = 0 THEN ' 客服專線：0800-000-000'
+              WHEN p_partkey % 3 = 1 THEN '  Google搜尋  訂閱'
+              ELSE ' 關閉' END AS dirty
+  FROM part WHERE p_partkey <= 500
+),
+c AS (
+  SELECT p_partkey, p_name, dirty,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(dirty, '[\r\n\t]+', ' ', 'g'),
+                '\s*訂閱\s*$', '', 'g'),
+              '\s*Google搜尋\s*', '', 'g'),
+            '\s*電子地圖\s*', '', 'g'),
+          '\s*地址所屬公司家數:\s*\d+\s*', '', 'g'),
+        '客服專線：.*?$', '', 'g'),
+      '\s*關閉\s*$', '', 'g'),
+    '\s+', ' ', 'g')) AS cleaned
+  FROM d
+)
+SELECT p_partkey, dirty, cleaned, cleaned = p_name AS roundtrip
+FROM c ORDER BY p_partkey
+"""
+
+
 # ---------- joins + windows + event-time ----------
 
 def q_join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,12 +29,9 @@ import numpy as np
 
 from biz_crawlers_spark import codecs
 from biz_crawlers_spark.extract.pages import (
+    build_entity_record,
     classify_page,
     extract_figures,
-    parse_business_items,
-    parse_detail_fields,
-    parse_names,
-    parse_roc_date,
     parse_school_rows,
     parse_search_results,
     pick_latest,
@@ -164,24 +161,16 @@ class ReferenceSimulator:
                 "url_key": key,
             }
             r.counters["images"] += 1
-        fields = parse_detail_fields(body)
-        if "統一編號" in fields:
-            roc = parse_roc_date(fields.get("核准變更日期", ""))
-            names = parse_names(fields.get("公司名稱", ""))  # X19 always-array
-            r.records[fields["統一編號"].rjust(8, "0")] = {
-                "entity_name": names[0] if names else None,
-                "entity_names": json.dumps(names, ensure_ascii=False),
-                "change_date": f"{roc[0]:04d}-{roc[1]:02d}-{roc[2]:02d}" if roc else None,
-                "biz_items": json.dumps(
-                    parse_business_items(fields.get("所營事業資料", "")),
-                    ensure_ascii=False,
-                ),
-            }
+        rec = build_entity_record(body)  # full X4-X8/X12/X13/X19 surface
+        if rec is not None:
+            r.records[rec.pop("entity_id")] = rec
         for cat, tax_id, name in parse_school_rows(body):
             r.records[tax_id.rjust(8, "0")] = {
                 "entity_name": name,
                 "entity_names": json.dumps([name], ensure_ascii=False),
-                "change_date": None, "biz_items": "[]",
+                "address": None, "change_date": None, "biz_items": "[]",
+                "shareholders": "[]", "managers": "[]", "capital": "[]",
+                "parse_mode": "dom",
             }
 
 

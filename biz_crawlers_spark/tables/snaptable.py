@@ -227,9 +227,15 @@ class SnapTable:
         ``prefer="old"`` flips the overlay (insert-if-absent: existing rows
         keep their values; update values only fill old NULLs).
         Unmatched update rows: inserted. Untouched buckets: carried over.
+
+        ``updates`` is defensively deduplicated on the key columns: duplicate
+        keys in one update batch would otherwise fan out through the
+        full-outer join and permanently violate the table's key invariant
+        (e.g. the same image bytes extracted from two pages in one epoch).
         """
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
+        updates = updates.dropDuplicates(self.key_cols)
 
         if not delete:
             ref = self.spark.createDataFrame([], self.schema_ddl)
@@ -277,9 +283,12 @@ class SnapTable:
     # ---------- maintenance ----------
 
     def rollback(self, snapshot_id: int) -> None:
-        if not os.path.exists(self._manifest_path(snapshot_id)):
+        """Point the table back at an earlier snapshot. ``-1`` = empty table
+        (pre-first-commit state) — used by the engine's epoch-atomicity
+        recovery when a crash interrupted the very first commit."""
+        if snapshot_id >= 0 and not os.path.exists(self._manifest_path(snapshot_id)):
             raise ValueError(f"no snapshot {snapshot_id}")
-        self._atomic_write(os.path.join(self.path, "_current"), str(snapshot_id))
+        self._atomic_write(os.path.join(self.path, "_current"), str(max(snapshot_id, -1)))
 
     def compact(self, summary: dict | None = None) -> int:
         """Rewrite the current snapshot into one fresh file set per bucket

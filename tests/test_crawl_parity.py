@@ -164,22 +164,40 @@ def test_lineage_accounts_for_everything(engine_run, sim_result):
 
 
 def test_records_parity(engine_run, sim_result):
+    """Field-level parity on the FULL record surface (X4-X8, X12, X13, X19):
+    entity names, cleaned address, shareholders (incl. the legal-entity
+    union), managers (ROC dates), nested capital, and parse_mode."""
+    import json as _json
+
     eng, _ = engine_run
     rows = eng.records.read().collect()
     eng_rec = {r["entity_id"]: r for r in rows}
     assert set(eng_rec) == set(sim_result.records)
-    multi = 0
     for eid, sr in sim_result.records.items():
         er = eng_rec[eid]
-        assert er["entity_name"] == sr["entity_name"]
-        assert er["entity_names"] == sr["entity_names"]
-        assert er["change_date"] == sr["change_date"]
-        assert er["biz_items"] == sr["biz_items"]
-        import json as _json
-
-        if er["entity_names"] and len(_json.loads(er["entity_names"])) > 1:
-            multi += 1
+        for f in ("entity_name", "entity_names", "address", "change_date",
+                  "biz_items", "shareholders", "managers", "capital",
+                  "parse_mode"):
+            assert er[f] == sr[f], f"{eid}.{f}: {er[f]!r} != {sr[f]!r}"
+    # coverage: the fixture variants must actually be exercised
+    multi = sum(
+        1 for r in rows if r["entity_names"] and len(_json.loads(r["entity_names"])) > 1
+    )
     assert multi >= 3, "X19 multi-name union-type variants must be exercised"
+    shs = [s for r in rows for s in _json.loads(r["shareholders"] or "[]")]
+    assert sum(1 for s in shs if s["legal_id"]) >= 3, "X5 legal-entity links"
+    assert sum(1 for s in shs if s["legal_id"] is None and s["legal_name"]) >= 3
+    assert sum(1 for s in shs if not s["legal_name"]) >= 3, "X5 empty legal cell"
+    mgrs = [m for r in rows for m in _json.loads(r["managers"] or "[]")]
+    assert sum(1 for m in mgrs if m["date"] and m["date"]["year"] >= 2011) >= 3, "X6"
+    caps = [c for r in rows for c in _json.loads(r["capital"] or "[]")]
+    assert len(caps) >= 3 and all(isinstance(c["amount"], int) for c in caps), "X7"
+    assert sum(1 for r in rows if r["parse_mode"] == "regex") >= 2, "X8 fallback"
+    # X4/X12/X13: addresses cleaned, control chars stripped
+    addrs = [r["address"] for r in rows if r["address"]]
+    assert addrs and all("\r" not in a and "&nbsp;" not in a and " " not in a
+                         for a in addrs if a)
+    assert all("\x01" not in (r["entity_name"] or "") for r in rows), "X13"
 
 
 def test_multi_epoch_budget_order_parity(spark, tmp_path, sim_result):
