@@ -8,19 +8,25 @@ git-commit durability, crawl-details.php:245-291):
   1. pending = frontier rows eligible this epoch (state/pending + not_before)
   2. per-host top-K budget selection (salted two-phase — engine/budget.py)
   3. dedup: batch dropDuplicates (D1) → Bloom prefilter (no false negatives)
-     → exact anti-join against the seen table on Bloom-positives only (D2)
-  4. mark selected in_flight (frontier MERGE) — crash between here and commit
-     restores them to pending on resume()
+     → exact anti-join against the seen table on Bloom-positives only (D2);
+     TTL mode (D7) keeps only in-window keys as duplicates
+  4. D9 routing: archived keys split off to a parse-only lane (no fetch)
   5. fetch+extract: repartition BY HOST → fused mapInPandas stage
-     (politeness + ordering live there — engine/stage.py)
-  6. commits, in order: images MERGE, records MERGE, discovered URLs MERGE
-     (insert-only), seen append + Bloom add, frontier state MERGE,
-     lineage append, epoch pointer bump
+     (politeness + ordering live there — engine/stage.py) unioned with the
+     parse-only lane → ONE staging write
+  6. commits: images MERGE, records MERGE, pages MERGE, seen append + Bloom
+     (+cuckoo mirror) add, fused frontier MERGE (state transitions +
+     dedup-done + discovered inserts), order_log append, lineage append —
+     then the STATE RECORD, which makes the whole group atomic (resume()
+     rolls back any table that is ahead of the record)
   7. epoch ends; repeat until the frontier drains (early termination, §4.1)
 
 Exactly two shuffles touch the wide path per epoch: the budget selection and
 the by-host repartition; image bytes are shuffled once more only as the MERGE
-write into the images table (the sink itself).
+write into the images table (the sink itself). Per-epoch driver-sequenced
+jobs are consolidated: ONE stats pass over staging yields the lineage rows
+AND the epoch totals; merges persist their update plans so staging is never
+re-scanned twice per commit.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from biz_crawlers_spark.engine.budget import select_per_host_topk
-from biz_crawlers_spark.engine.stage import STAGE_DDL, make_stage
+from biz_crawlers_spark.engine.stage import STAGE_DDL, make_parse_stage, make_stage
 from biz_crawlers_spark.filters.bloom import BloomShards
 from biz_crawlers_spark.filters.cuckoo import CuckooShards
 from biz_crawlers_spark.fixtures.web import FixtureWeb, SeedURL
@@ -41,6 +47,7 @@ from biz_crawlers_spark.frontier.seed import (
     FRONTIER_DDL,
     IMAGES_DDL,
     LINEAGE_DDL,
+    PAGES_DDL,
     RECORDS_DDL,
     SEEN_DDL,
     seed_df,
@@ -67,6 +74,8 @@ class CrawlEngine:
         fetch_partitions: int | None = None,
         fetch_salting: int = 0,
         keep_staging: bool = False,
+        ttl_epochs: int | None = None,
+        archive_pages: bool = False,
     ):
         """``fetch_salting``: 0 (default, strict mode) partitions the fetch
         stage by host only — per-host politeness pacing is globally correct,
@@ -88,6 +97,15 @@ class CrawlEngine:
         )
         self.fetch_salting = fetch_salting
         self.keep_staging = keep_staging
+        # D7 (DetailCrawler.php:125-129, :1172-1210): None = permanent seen
+        # set (report crawls); an int makes seen rows EXPIRE after that many
+        # epochs (the 24 h recency window, epoch-denominated in virtual
+        # time), and corrupted records (invalid biz_items JSON) force
+        # re-crawl regardless — the reference's delete-corrupted-JSON branch.
+        self.ttl_epochs = ttl_epochs
+        # D9/K5: archive raw page bodies in the pages table; frontier rows
+        # whose key is archived route to a parse-only stage (no fetch)
+        self.archive_pages = archive_pages
         os.makedirs(self.workdir, exist_ok=True)
 
         def tbl(name: str, ddl: str, keys: list[str]) -> SnapTable:
@@ -100,6 +118,7 @@ class CrawlEngine:
 
         self.frontier = tbl("frontier", FRONTIER_DDL, ["url_key"])
         self.seen = tbl("seen", SEEN_DDL, ["url_key"])
+        self.pages = tbl("pages", PAGES_DDL, ["url_key"])
         self.images = tbl("images", IMAGES_DDL, ["image_id"])
         self.records = tbl("records", RECORDS_DDL, ["entity_id"])
         self.lineage = tbl("lineage", LINEAGE_DDL, ["epoch", "partition_id", "host"])
@@ -129,7 +148,9 @@ class CrawlEngine:
     # can never leave (e.g.) url_keys marked seen without their order_log /
     # lineage evidence rows (the epoch simply re-runs in full).
 
-    TABLE_NAMES = ("frontier", "seen", "images", "records", "lineage", "order_log")
+    TABLE_NAMES = (
+        "frontier", "seen", "pages", "images", "records", "lineage", "order_log"
+    )
 
     def _state_path(self) -> str:
         return os.path.join(self.workdir, "_crawl_state.json")
@@ -171,6 +192,24 @@ class CrawlEngine:
         """MERGE seeds insert-only: re-seeding never resets done/failed rows
         (the reference's cross-run dedup-before-fetch, D2)."""
         self.frontier.merge(df, prefer="old", summary={"op": "seed"})
+        self._record_state(self.current_epoch())
+
+    def reseed_from_urls(self, seeds: list[SeedURL]) -> None:
+        """Re-enumeration pass (the reference re-runs the same seed list on
+        the next crawl invocation): inserts unknown URLs AND reopens known
+        ones to pending, so the dedup layer — not frontier state — decides
+        what actually re-fetches (everything inside the TTL window dedups to
+        done, D7)."""
+        df = seed_df(self.spark, seeds, epoch=self.current_epoch())
+        self.frontier.merge(df, prefer="old", summary={"op": "reseed"})
+        self.frontier.merge(
+            df.select(
+                "url_key",
+                F.lit("pending").alias("state"),
+                F.lit(self.current_epoch()).alias("not_before"),
+            ),
+            summary={"op": "reseed_reopen"},
+        )
         self._record_state(self.current_epoch())
 
     def resume(self) -> int:
@@ -252,7 +291,36 @@ class CrawlEngine:
         n_selected = checked.count()
         negatives = checked.filter(~F.col("maybe_seen")).drop("maybe_seen")
         positives = checked.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = positives.join(seen_df, on="url_key", how="left_anti")
+        if self.ttl_epochs is None:
+            survivors = positives.join(seen_df, on="url_key", how="left_anti")
+            dup_keys = positives.join(seen_df, "url_key", "left_semi")
+        else:
+            # D7 TTL mode: a key is a duplicate only while its LATEST seen
+            # epoch is inside the recency window — stale keys re-fetch (the
+            # reference's 24 h skip); corrupted records bypass the window
+            # entirely (isRecentlyCrawled's delete-and-recrawl branch)
+            last_seen = seen_df.groupBy("url_key").agg(
+                F.max("seen_epoch").alias("_last_seen")
+            )
+            corrupt = (
+                self.records.read()
+                .filter(
+                    F.col("biz_items").isNotNull()
+                    & F.try_parse_json("biz_items").isNull()
+                )
+                .select("url_key")
+                .withColumn("_corrupt", F.lit(True))
+            )
+            j = positives.join(last_seen, "url_key", "left").join(
+                corrupt, "url_key", "left"
+            )
+            fresh = (
+                F.col("_last_seen").isNotNull()
+                & (F.lit(epoch) - F.col("_last_seen") < F.lit(self.ttl_epochs))
+                & F.col("_corrupt").isNull()
+            )
+            survivors = j.filter(~fresh).drop("_last_seen", "_corrupt")
+            dup_keys = j.filter(fresh).drop("_last_seen", "_corrupt")
         batch = negatives.unionByName(survivors).persist(StorageLevel.MEMORY_AND_DISK)
         # one job yields BOTH the batch size and the robots host list
         host_counts = batch.groupBy("host").count().collect()
@@ -260,18 +328,17 @@ class CrawlEngine:
         n_deduped = n_selected - n_batch
         # already-seen rows must leave the pending set THIS epoch (not linger
         # to be re-selected and re-deduped every remaining epoch)
-        dup_done = positives.join(seen_df, "url_key", "left_semi").select(
-            "url_key", F.lit("done").alias("state")
-        )
+        dup_done = dup_keys.select("url_key", F.lit("done").alias("state"))
         if n_batch == 0:
             stats = {"epoch": epoch, "selected": n_selected, "deduped": n_deduped,
                      "fetched": 0, "ok": 0, "failed": 0, "robots_denied": 0,
                      "not_found": 0, "images": 0, "retried": 0, "discovered": 0,
-                     "drained": pending.limit(1).count() == 0}
+                     "cache_hits": 0, "drained": pending.limit(1).count() == 0}
             if n_deduped:
                 # mark the all-dup batch done so it leaves the pending set
                 self.frontier.merge(
                     dup_done, summary={"op": "dedup_skip", "epoch": epoch},
+                    dedupe=False,
                 )
                 self._record_state(epoch + 1)
                 stats["drained"] = False
@@ -294,7 +361,7 @@ class CrawlEngine:
         # the images MERGE prunes the bytes column away — a row-format cache
         # would deserialize the payload bytes on every scan. The staging dir
         # doubles as the raw-results archive of the epoch (K5 analog).
-        stage = make_stage(self.web_params, self.budget, robots)
+        stage = make_stage(self.web_params, self.budget, robots, self.archive_pages)
         if self.fetch_salting > 0:
             # many more salt lanes than partitions: S salts hashed into P
             # partitions need S >> P or balls-in-bins collisions leave some
@@ -304,13 +371,34 @@ class CrawlEngine:
             part_cols = [F.col("host"), F.pmod(F.col("url_key"), F.lit(salts))]
         else:
             part_cols = [F.col("host")]
-        staging = os.path.join(self.workdir, "staging", f"epoch={epoch}")
-        (
-            batch.repartition(self.fetch_partitions, *part_cols)
-            .mapInPandas(stage, STAGE_DDL)
-            .write.mode("overwrite")
-            .parquet(staging)
+        # D9 routing join: batch rows whose key is in the raw-page archive
+        # go to a PARSE-ONLY stage (re-parse without re-fetch,
+        # DetailCrawler.php:105-123); search pages always fetch (the
+        # reference caches detail pages, and the two-hop child fetch cannot
+        # run from cache). The fetch and parse lanes are one union, one
+        # staging write — a single job.
+        to_fetch = batch
+        staged = None
+        if self.archive_pages and not self.pages.is_empty():
+            arch = self.pages.read().filter(F.col("status") == "ok").select(
+                "url_key", "body"
+            )
+            cached = (
+                batch.filter(~F.col("canonical_url").contains("/search"))
+                .join(arch, "url_key")
+                .select("url_key", "canonical_url", "host", "body")
+            )
+            to_fetch = batch.join(cached.select("url_key"), "url_key", "left_anti")
+            staged = cached.repartition(self.fetch_partitions, "url_key").mapInPandas(
+                make_parse_stage(), STAGE_DDL
+            )
+        fetched_df = to_fetch.repartition(self.fetch_partitions, *part_cols).mapInPandas(
+            stage, STAGE_DDL
         )
+        if staged is not None:
+            fetched_df = fetched_df.unionByName(staged)
+        staging = os.path.join(self.workdir, "staging", f"epoch={epoch}")
+        fetched_df.write.mode("overwrite").parquet(staging)
         fetched = self.spark.read.parquet(staging)
 
         statuses = fetched.filter(F.col("row_type") == "status")
@@ -318,31 +406,96 @@ class CrawlEngine:
         records = fetched.filter(F.col("row_type") == "record")
         discovered = fetched.filter(F.col("row_type") == "discovered")
 
+        # ONE stats pass over staging — run FIRST: the collected group rows
+        # (O(hosts × partitions), tiny) yield the lineage table rows, the
+        # epoch totals, AND the counts that let the commit section skip
+        # whole plan branches (no discovery → no frontier anti-join; no
+        # duplicates → no dedup-done union) — replacing the round-1 fan-out
+        # of separate lineage-agg, image-count-join, global-agg, and
+        # discovery-count jobs (4 staging scans → 1).
+        is_status = F.col("row_type") == "status"
+        st = F.when(is_status, F.col("status"))
+        groups = (
+            fetched.groupBy("host", "partition_id")
+            .agg(
+                F.sum(
+                    (is_status & ~st.isin("robots_denied", "cached")).cast("long")
+                ).alias("fetched"),
+                F.sum((st == "ok").cast("long")).alias("ok"),
+                F.sum(
+                    (is_status & ~st.isin("ok", "not_found", "robots_denied")).cast("long")
+                ).alias("failed"),
+                F.sum(
+                    F.when(is_status, F.greatest(F.col("attempts") - 1, F.lit(0)))
+                    .otherwise(0)
+                    .cast("long")
+                ).alias("retried"),
+                F.sum((st == "robots_denied").cast("long")).alias("robots_denied"),
+                F.sum((st == "not_found").cast("long")).alias("not_found"),
+                F.sum((F.col("row_type") == "image").cast("long")).alias("images"),
+                F.sum((F.col("row_type") == "discovered").cast("long")).alias("disc"),
+                F.sum((st == "cached").cast("long")).alias("cache_hits"),
+            )
+            .collect()
+        )
+        totals = {
+            k: int(sum(r[k] for r in groups))
+            for k in ("fetched", "ok", "failed", "retried", "robots_denied",
+                      "not_found", "images", "disc", "cache_hits")
+        }
+        n_discovered = totals["disc"]
+        n_images = totals["images"]
+
         # --- commits ---
         # Per-table commits are atomic; the GROUP is made atomic by the state
         # record written at the end (resume() rolls back any table that is
         # ahead of the record, so a crash anywhere in this sequence re-runs
         # the epoch in full — no seen rows without evidence rows, ADVICE r1).
+        # The commits are INDEPENDENT (distinct tables/dirs, all reading the
+        # immutable staging output), so they are submitted CONCURRENTLY from
+        # driver threads — Spark schedules the jobs in parallel and the
+        # epoch's commit tail collapses from a sum of job latencies to their
+        # max. Any failure aborts the epoch before the state record, so the
+        # group stays atomic.
         img_rows = images.select(
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             "url_key", F.col("image_seq").alias("seq"), F.lit(epoch).alias("epoch"),
         ).dropDuplicates(["image_id"])  # same bytes on two pages in one epoch
-        self.images.merge(img_rows, summary={"epoch": epoch})
 
         rec_rows = records.select(
             "entity_id", "entity_name", "entity_names", "address", "change_date",
             "biz_items", "shareholders", "managers", "capital", "parse_mode",
             "category", "url_key", F.lit(epoch).alias("epoch"),
         ).dropDuplicates(["entity_id"])
-        self.records.merge(rec_rows, summary={"epoch": epoch})
 
-        term_ok = statuses.filter(F.col("status").isin("ok", "not_found"))
+        term_ok = statuses.filter(F.col("status").isin("ok", "not_found", "cached"))
         seen_rows = term_ok.select("url_key", F.lit(epoch).alias("seen_epoch"))
-        self.seen.append(seen_rows, summary={"epoch": epoch})
-        self.bloom.add_spark(term_ok.select("url_key"), "url_key")
-        cf = self._seen_cuckoo()
-        if cf is not None:  # keep the deletable mirror in lockstep (D6)
-            cf.add_spark(term_ok.select("url_key"), "url_key")
+
+        def _c_images() -> None:
+            self.images.merge(img_rows, summary={"epoch": epoch}, dedupe=False)
+
+        def _c_records() -> None:
+            self.records.merge(rec_rows, summary={"epoch": epoch}, dedupe=False)
+
+        def _c_pages() -> None:
+            page_rows = (
+                fetched.filter(F.col("row_type") == "page")
+                .select(
+                    "url_key", "status", F.col("bytes").alias("body"),
+                    F.lit(epoch).alias("epoch"),
+                )
+                .dropDuplicates(["url_key"])
+            )
+            self.pages.merge(page_rows, summary={"epoch": epoch}, dedupe=False)
+
+        def _c_seen() -> None:
+            # seen table, Bloom shards, and cuckoo mirror advance as one
+            # sequential chain (they mirror each other)
+            self.seen.append(seen_rows, summary={"epoch": epoch})
+            self.bloom.add_spark(term_ok.select("url_key"), "url_key")
+            cf = self._seen_cuckoo()
+            if cf is not None:  # keep the deletable mirror in lockstep (D6)
+                cf.add_spark(term_ok.select("url_key"), "url_key")
 
         # frontier: ONE fused merge — fetched-state transitions + dedup-done
         # marks + discovered inserts. State transitions apply to FRONTIER
@@ -350,103 +503,106 @@ class CrawlEngine:
         # requests — seen-tracked and lineage-counted but never frontier rows.
         state_upd = statuses.filter(F.col("parent_key").isNull()).select(
             "url_key",
-            F.when(F.col("status").isin("ok", "not_found"), "done")
+            F.when(F.col("status").isin("ok", "not_found", "cached"), "done")
             .when(F.col("status") == "robots_denied", "denied")
             .otherwise("failed")
             .alias("state"),
             F.col("attempts").alias("retries"),
         )
-        # F4 discoveries stay distributed: url_key/host/page derived with
-        # column expressions from the (already canonical) discovered_url —
-        # no driver collect, no createDataFrame round-trip
-        ndf = (
-            discovered.select(
-                F.xxhash64("discovered_url").alias("url_key"),
-                F.col("discovered_url").alias("canonical_url"),
-                F.lower(F.parse_url("discovered_url", F.lit("HOST"))).alias("host"),
-                F.lit(0).alias("org_idx"),
-                F.lit(0).alias("type_idx"),
-                F.coalesce(
-                    F.nullif(
-                        F.regexp_extract("discovered_url", r"[?&]pages=(\d+)", 1),
-                        F.lit(""),
-                    ).cast("int"),
-                    F.lit(0),
-                ).alias("page"),
-                F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
-                F.lit("pending").alias("state"),
-                F.lit(0).alias("retries"),
-                F.lit(epoch + 1).alias("not_before"),
-                F.lit(epoch + 1).alias("discovered_epoch"),
+        frontier_updates = state_upd
+        if n_discovered:
+            # F4 discoveries stay distributed: url_key/host/page derived with
+            # column expressions from the (already canonical) discovered_url —
+            # no driver collect, no createDataFrame round-trip
+            ndf = (
+                discovered.select(
+                    F.xxhash64("discovered_url").alias("url_key"),
+                    F.col("discovered_url").alias("canonical_url"),
+                    F.lower(F.parse_url("discovered_url", F.lit("HOST"))).alias("host"),
+                    F.lit(0).alias("org_idx"),
+                    F.lit(0).alias("type_idx"),
+                    F.coalesce(
+                        F.nullif(
+                            F.regexp_extract("discovered_url", r"[?&]pages=(\d+)", 1),
+                            F.lit(""),
+                        ).cast("int"),
+                        F.lit(0),
+                    ).alias("page"),
+                    F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
+                    F.lit("pending").alias("state"),
+                    F.lit(0).alias("retries"),
+                    F.lit(epoch + 1).alias("not_before"),
+                    F.lit(epoch + 1).alias("discovered_epoch"),
+                )
+                .dropDuplicates(["url_key"])
+                # re-discovered URLs never reset existing rows (insert-only)
+                .join(fr.select("url_key"), "url_key", "left_anti")
             )
-            .dropDuplicates(["url_key"])
-            # re-discovered URLs never reset existing rows (insert-only)
-            .join(fr.select("url_key"), "url_key", "left_anti")
-        )
-        frontier_updates = ndf.unionByName(
-            state_upd, allowMissingColumns=True
-        ).unionByName(dup_done, allowMissingColumns=True)
-        self.frontier.merge(
-            frontier_updates, summary={"op": "epoch_end", "epoch": epoch}
-        )
+            frontier_updates = ndf.unionByName(
+                frontier_updates, allowMissingColumns=True
+            )
+        if n_deduped:
+            frontier_updates = frontier_updates.unionByName(
+                dup_done, allowMissingColumns=True
+            )
 
-        # crawl-order evidence: per-host sequence of url_keys. host_seq is
-        # DERIVED from the deterministic order key (window row_number), not
-        # from worker arrival — identical in strict and salted modes, and
-        # equal to the reference's sequential order per host (SURVEY.md §7)
-        from pyspark.sql import Window
+        def _c_frontier() -> None:
+            self.frontier.merge(
+                frontier_updates, summary={"op": "epoch_end", "epoch": epoch},
+                dedupe=False,  # all sources are key-unique by construction
+            )
 
-        order_cols = ["priority", "org_idx", "type_idx", "page", "url_key"]
-        w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
-        ordered = (
-            batch.select("url_key", "host", *order_cols[:-1])
-            .join(statuses.select("url_key", "status", "attempts", "n_payload"), "url_key")
-            .withColumn("host_seq", F.row_number().over(w).cast("long") - 1)
-        )
-        self.order_log.append(
-            ordered.select(
-                "url_key", "host", F.lit(epoch).alias("epoch"), "host_seq",
-                "status", "attempts", "n_payload",
-            ),
-            summary={"epoch": epoch},
-            bucketize=False,  # append-only evidence table, never MERGEd
-        )
+        def _c_order_log() -> None:
+            # crawl-order evidence: per-host sequence of url_keys. host_seq
+            # is DERIVED from the deterministic order key (window
+            # row_number), not from worker arrival — identical in strict and
+            # salted modes, and equal to the reference's sequential order
+            # per host (SURVEY.md §7)
+            from pyspark.sql import Window
 
-        lineage_rows = statuses.groupBy(
-            F.lit(epoch).alias("epoch"), "partition_id", "host"
-        ).agg(
-            F.sum((F.col("status") != "robots_denied").cast("long")).alias("fetched"),
-            F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
-            F.lit(0).cast("long").alias("deduped"),
-            F.sum(
-                (~F.col("status").isin("ok", "not_found", "robots_denied")).cast("long")
-            ).alias("failed"),
-            F.sum(F.greatest(F.col("attempts") - 1, F.lit(0)).cast("long")).alias("retried"),
-            F.sum((F.col("status") == "robots_denied").cast("long")).alias("robots_denied"),
-            F.sum((F.col("status") == "not_found").cast("long")).alias("not_found"),
-            F.lit(0).cast("long").alias("images"),
-        )
-        img_counts = images.groupBy("host").agg(F.count("*").alias("_imgs"))
-        lineage_rows = (
-            lineage_rows.join(img_counts, on="host", how="left")
-            .withColumn("images", F.coalesce(F.col("_imgs"), F.lit(0)))
-            .drop("_imgs")
-            .select(*self.lineage._cols())
-        )
-        self.lineage.append(lineage_rows, summary={"epoch": epoch}, bucketize=False)
+            order_cols = ["priority", "org_idx", "type_idx", "page", "url_key"]
+            w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
+            ordered = (
+                batch.select("url_key", "host", *order_cols[:-1])
+                .join(
+                    statuses.select("url_key", "status", "attempts", "n_payload"),
+                    "url_key",
+                )
+                .withColumn("host_seq", F.row_number().over(w).cast("long") - 1)
+            )
+            self.order_log.append(
+                ordered.select(
+                    "url_key", "host", F.lit(epoch).alias("epoch"), "host_seq",
+                    "status", "attempts", "n_payload",
+                ),
+                summary={"epoch": epoch},
+                bucketize=False,  # append-only evidence table, never MERGEd
+            )
 
-        n_discovered = ndf.count()
-        agg = statuses.groupBy().agg(
-            F.sum((F.col("status") != "robots_denied").cast("long")).alias("fetched"),
-            F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
-            F.sum(
-                (~F.col("status").isin("ok", "not_found", "robots_denied")).cast("long")
-            ).alias("failed"),
-            F.sum((F.col("status") == "robots_denied").cast("long")).alias("robots_denied"),
-            F.sum((F.col("status") == "not_found").cast("long")).alias("not_found"),
-            F.sum(F.greatest(F.col("attempts") - 1, F.lit(0)).cast("long")).alias("retried"),
-        ).collect()[0]
-        n_images = images.count()
+        def _c_lineage() -> None:
+            lineage_rows = self.spark.createDataFrame(
+                [
+                    (epoch, r["partition_id"], r["host"], r["fetched"], r["ok"], 0,
+                     r["failed"], r["retried"], r["robots_denied"], r["not_found"],
+                     r["images"], r["cache_hits"])
+                    for r in groups
+                ],
+                LINEAGE_DDL,
+            )
+            self.lineage.append(lineage_rows, summary={"epoch": epoch}, bucketize=False)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        commits = [_c_images, _c_records, _c_seen, _c_frontier, _c_order_log,
+                   _c_lineage]
+        if self.archive_pages:
+            commits.append(_c_pages)
+        with ThreadPoolExecutor(max_workers=len(commits)) as ex:
+            futures = [ex.submit(c) for c in commits]
+            for f in futures:
+                f.result()  # re-raise: a failed commit aborts the epoch
+                # BEFORE the state record — resume() then rolls back the
+                # tables that did land, keeping the group atomic
 
         checked.unpersist()
         batch.unpersist()
@@ -457,10 +613,11 @@ class CrawlEngine:
         self._record_state(epoch + 1)
         return {
             "epoch": epoch, "selected": n_selected, "deduped": n_deduped,
-            "fetched": agg["fetched"] or 0, "ok": agg["ok"] or 0,
-            "failed": agg["failed"] or 0, "robots_denied": agg["robots_denied"] or 0,
-            "not_found": agg["not_found"] or 0, "retried": agg["retried"] or 0,
-            "images": n_images, "discovered": n_discovered, "drained": False,
+            "fetched": totals["fetched"], "ok": totals["ok"],
+            "failed": totals["failed"], "robots_denied": totals["robots_denied"],
+            "not_found": totals["not_found"], "retried": totals["retried"],
+            "images": n_images, "discovered": n_discovered,
+            "cache_hits": totals["cache_hits"], "drained": False,
         }
 
     def run(self, max_epochs: int = 100) -> list[dict]:

@@ -174,14 +174,32 @@ def _discoveries(url: str, body: bytes, url_key: int, host: str, priority: int) 
     ]
 
 
+def request_spec(url: str) -> tuple[str, str | None]:
+    """S4 per-row request spec: search URLs POST the qryType/qryCond form
+    payload (DetailCrawler.php:141-152); everything else is a plain GET.
+    The fixture web VALIDATES the spec — a wrong method/payload yields an
+    error page, so the parity suite proves the engine really sends it."""
+    u = urlsplit(url)
+    if u.path.endswith("/search"):
+        qc = parse_qs(u.query).get("qryCond", [""])[0]
+        return "POST", f"qryType=cmpyType&qryCond={qc}"
+    return "GET", None
+
+
 def _fetch_with_retries(web, url: str, budget: PolitenessBudget, t: float, wait_until):
     """Politeness-scheduled fetch with in-place throttle/junk retries
-    (P4-P6). Returns (terminal_status, body, attempts, advanced_clock)."""
+    (P4-P6) and the P6 session model: every other retry closes and
+    re-warms the session, charging warmup_s to the host clock
+    (DetailCrawler.php:218-231). Returns (terminal_status, body, attempts,
+    advanced_clock)."""
     status, body, attempts = "error", b"", 0
+    method, payload = request_spec(url)
     for attempt in range(budget.max_retries + 1):
+        if budget.resets_session(attempt):
+            t += budget.warmup_s  # P6: session reinit every 2nd retry
         t += budget.per_request_s
         wait_until(t)
-        res = web.fetch(url, attempt=attempt)
+        res = web.fetch(url, attempt=attempt, method=method, payload=payload)
         status = classify_page(res["status"], res["body"])
         body = res["body"]
         attempts = attempt + 1
@@ -191,14 +209,52 @@ def _fetch_with_retries(web, url: str, budget: PolitenessBudget, t: float, wait_
     return status, body, attempts, t
 
 
+def make_parse_stage():
+    """Parse-only stage for the D9 raw-cache routing join
+    (DetailCrawler.php:105-123 "regenerate from raw HTML without re-fetch"):
+    rows arrive with the ARCHIVED page body; no fetch, no politeness clock —
+    just classify-free re-extraction. Emits a status row with
+    status='cached' (lineage-counted as cache_hits) plus the payload rows,
+    exactly the shape the fetch stage produces."""
+
+    def parse_stage(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in iterator:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                body = bytes(row.body)
+                payload = _decode_figures(body, row.url_key, row.host)
+                payload += _extract_record(body, row.url_key, row.host)
+                out.append(
+                    _blank_row(
+                        row_type="status", url_key=row.url_key,
+                        canonical_url=row.canonical_url, host=row.host,
+                        status="cached", attempts=0, scheduled_at=0.0,
+                        n_payload=len(payload),
+                    )
+                )
+                out.extend(payload)
+            for r in out:
+                r["partition_id"] = pid
+            yield _to_frame(out)
+
+    return parse_stage
+
+
 def make_stage(
     web_params: dict,
     budget: PolitenessBudget,
     robots_rules: dict[str, list[str]],
+    archive_pages: bool = False,
 ):
     """Build the mapInPandas function. ``robots_rules``: host → parsed rules
     (empty list = allow all); checked pre-fetch with a lineage-counted
-    robots_denied status (P8)."""
+    robots_denied status (P8). ``archive_pages`` additionally emits a
+    row_type='page' row per fetch result carrying the raw body — the K5
+    raw-HTML archive (status-tagged like DetailCrawler.php:1155-1170) that
+    feeds the D9 re-parse-without-refetch routing join."""
 
     def stage(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -216,11 +272,20 @@ def make_stage(
                 if gap > 0:
                     time.sleep(gap)
 
+        warmed_hosts: set[str] = set()
         for pdf in iterator:
             out: list[dict] = []
             pdf = pdf.sort_values(["host", *ORDER_SORT], kind="stable")
             for host, g in pdf.groupby("host", sort=True):
                 t = host_clock.get(host, 0.0)
+                if budget.warmup_requests and host not in warmed_hosts:
+                    # S3: a fresh per-host session costs a 2-request warmup
+                    # charged before the first real request
+                    # (DetailCrawler.php:34-91); one session per worker per
+                    # host — in strict mode (host-per-partition) this equals
+                    # the reference's one session per crawl
+                    t += budget.warmup_s
+                    warmed_hosts.add(host)
                 for row in g.itertuples(index=False):
                     url = row.canonical_url
                     if not is_allowed(url, robots_rules.get(host, [])):
@@ -246,6 +311,14 @@ def make_stage(
                         )
                     )
                     sidx = len(out) - 1
+                    if archive_pages:
+                        out.append(
+                            _blank_row(
+                                row_type="page", url_key=row.url_key,
+                                canonical_url=url, host=host, status=status,
+                                bytes=body,
+                            )
+                        )
                     if status == "ok":
                         payload = _decode_figures(body, row.url_key, host)
                         payload += _extract_record(body, row.url_key, host)
@@ -280,12 +353,22 @@ def make_stage(
                                 )
                             )
                             didx = len(out) - 1
+                            if archive_pages:
+                                out.append(
+                                    _blank_row(
+                                        row_type="page", url_key=d_key,
+                                        canonical_url=detail_url, host=host,
+                                        status=d_status, bytes=d_body,
+                                    )
+                                )
                             if d_status == "ok":
                                 d_payload = _decode_figures(d_body, d_key, host)
                                 d_payload += _extract_record(d_body, d_key, host)
                                 out.extend(d_payload)
                                 out[didx]["n_payload"] = len(d_payload)
                 host_clock[host] = t
+            for r in out:  # stamp provenance: every row (incl. payload rows)
+                r["partition_id"] = pid
             yield _to_frame(out)
 
     return stage

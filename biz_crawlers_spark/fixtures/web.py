@@ -402,9 +402,23 @@ class FixtureWeb:
 
     # ---------- fetch ----------
 
-    def fetch(self, url: str, attempt: int = 0) -> dict:
-        """Returns {status, body}; status ∈ ok|throttled|not_found|junk."""
+    def fetch(
+        self, url: str, attempt: int = 0, method: str = "GET",
+        payload: str | None = None,
+    ) -> dict:
+        """Returns {status, body}; status ∈ ok|throttled|not_found|junk.
+
+        S4 validation: /search requires the reference's POST form spec
+        (method=POST, payload qryType=cmpyType&qryCond={id} —
+        DetailCrawler.php:141-152); anything else gets an error page, so an
+        engine that forgets the request spec fails the parity suite."""
         u = urlsplit(url)
+        if u.path.endswith("/search"):
+            entity_id = parse_qs(u.query).get("qryCond", [""])[0]
+            expected = f"qryType=cmpyType&qryCond={entity_id}"
+            if method != "POST" or payload != expected:
+                return {"status": "error",
+                        "body": b"<html><body>405 method not allowed</body></html>"}
         if u.path == "/robots.txt":
             body = self.robots_txt((u.hostname or "").lower())
             if body is None:

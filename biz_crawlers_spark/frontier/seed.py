@@ -45,8 +45,13 @@ RECORDS_DDL = (
 
 LINEAGE_DDL = (
     "epoch int, partition_id int, host string, fetched long, ok long, deduped long, "
-    "failed long, retried long, robots_denied long, not_found long, images long"
+    "failed long, retried long, robots_denied long, not_found long, images long, "
+    "cache_hits long"
 )
+
+# K5 raw-page archive (status-tagged bodies, DetailCrawler.php:1155-1170);
+# the D9 routing join re-parses from here instead of re-fetching
+PAGES_DDL = "url_key long, status string, body binary, epoch int"
 
 ORDER_COLS = ["priority", "org_idx", "type_idx", "page", "url_key"]
 

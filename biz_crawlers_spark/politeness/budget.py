@@ -27,6 +27,13 @@ class PolitenessBudget:
     backoff: str = "exp"  # "exp": 2^attempt (BaseCrawler.php:105); "linear": base+n (DetailCrawler.php:218-227)
     retry_delay_s: float = 3.0
     time_scale: float = 0.0
+    # S3 session model (DetailCrawler.php:34-91): a fresh session costs a
+    # 2-request warmup (GET base, delay, GET query page) charged to the host
+    # clock before the first real request; 0 disables the session model.
+    warmup_requests: int = 0
+    # P6 (DetailCrawler.php:218-231): the session is closed and re-warmed
+    # every OTHER retry ("if ($retry % 2 === 0)").
+    session_reset_every: int = 2
 
     def retry_wait_s(self, attempt: int) -> float:
         if self.backoff == "exp":
@@ -36,6 +43,20 @@ class PolitenessBudget:
     @property
     def per_request_s(self) -> float:
         return self.min_interval_s + self.extra_delay_s
+
+    @property
+    def warmup_s(self) -> float:
+        """Virtual-clock cost of a session (re)initialization."""
+        return self.warmup_requests * self.min_interval_s
+
+    def resets_session(self, attempt: int) -> bool:
+        """True when attempt (1-based retry) follows a session reset: the
+        reference reinitializes after failed attempt r when r % 2 == 0."""
+        return (
+            self.warmup_requests > 0
+            and attempt >= 1
+            and (attempt - 1) % self.session_reset_every == 0
+        )
 
 
 DEFAULT_BUDGET = PolitenessBudget()

@@ -51,6 +51,10 @@ class SimResult:
     records: dict[str, dict] = field(default_factory=dict)
     counters: dict[str, int] = field(default_factory=dict)
     statuses: dict[int, str] = field(default_factory=dict)  # url_key → terminal status
+    # the politeness VIRTUAL CLOCK after each fetch completes (P1-P6 + S3
+    # warmups), keyed by url_key — the engine's staging scheduled_at must
+    # equal this exactly (schedule parity, strict mode)
+    schedule: dict[int, float] = field(default_factory=dict)
 
 
 class ReferenceSimulator:
@@ -68,6 +72,8 @@ class ReferenceSimulator:
         robots: dict[str, list[str]] = {}
         queue: list[SeedURL] = list(seeds)
         batch_seen: set[int] = set()
+        clock: dict[str, float] = {}  # per-host virtual politeness clock
+        warmed: set[str] = set()
         i = 0
         while i < len(queue):
             s = queue[i]
@@ -87,7 +93,11 @@ class ReferenceSimulator:
                 r.per_host_order.setdefault(host, []).append(key)
                 r.statuses[key] = "robots_denied"
                 continue
-            status, body = self._fetch_retrying(r, cu)
+            if self.budget.warmup_requests and host not in warmed:
+                clock[host] = clock.get(host, 0.0) + self.budget.warmup_s  # S3
+                warmed.add(host)
+            status, body = self._fetch_retrying(r, cu, host, clock)
+            r.schedule[key] = clock[host]
             r.per_host_order.setdefault(host, []).append(key)
             r.statuses[key] = status
             if status == "not_found":
@@ -105,7 +115,8 @@ class ReferenceSimulator:
                 detail_url = pick_latest(parse_search_results(body))
                 if detail_url:
                     d_key = url_key(detail_url)
-                    d_status, d_body = self._fetch_retrying(r, detail_url)
+                    d_status, d_body = self._fetch_retrying(r, detail_url, host, clock)
+                    r.schedule[d_key] = clock[host]
                     r.detail_order.setdefault(host, []).append(d_key)
                     r.statuses[d_key] = d_status
                     if d_status == "not_found":
@@ -130,17 +141,30 @@ class ReferenceSimulator:
                 r.counters["discovered"] += 1
         return r
 
-    def _fetch_retrying(self, r: SimResult, url: str) -> tuple[str, bytes]:
-        """In-place retry loop mirroring P4-P6; counts fetched/retried."""
+    def _fetch_retrying(
+        self, r: SimResult, url: str, host: str, clock: dict[str, float]
+    ) -> tuple[str, bytes]:
+        """In-place retry loop mirroring P4-P6 + the S4 request spec and the
+        P6 session-reset warmup charge; counts fetched/retried and advances
+        the host's virtual clock exactly like engine/stage.py."""
+        from biz_crawlers_spark.engine.stage import request_spec
+
         status, body = "error", b""
+        t = clock.get(host, 0.0)
+        method, payload = request_spec(url)
         for attempt in range(self.budget.max_retries + 1):
-            res = self.web.fetch(url, attempt=attempt)
+            if self.budget.resets_session(attempt):
+                t += self.budget.warmup_s  # P6 session reinit
+            t += self.budget.per_request_s
+            res = self.web.fetch(url, attempt=attempt, method=method, payload=payload)
             status = classify_page(res["status"], res["body"])
             body = res["body"]
             if attempt > 0:
                 r.counters["retried"] += 1
             if status in ("ok", "not_found"):
                 break
+            t += self.budget.retry_wait_s(attempt)
+        clock[host] = t
         r.counters["fetched"] += 1
         return status, body
 

@@ -40,3 +40,72 @@ def export_csv(df: DataFrame, dest: str, single_file: bool = True) -> str:
 def read_id_list(spark, path: str) -> DataFrame:
     """The consuming side (crawl.php:319-333): text file → id column."""
     return spark.read.text(path).select(F.col("value").alias("id")).filter(F.length("id") > 0)
+
+
+def entity_doc(rec: dict) -> dict:
+    """The per-entity JSON document shape (K1 analog of
+    DetailCrawler.php:888-949 saveCompanyDetail): nested columns are
+    re-materialized from their JSON storage encoding so the doc carries real
+    arrays/objects, exactly like the reference's on-disk files. Field-name
+    mapping vs the reference is documented in SURVEY.md §1.2."""
+    import json as _json
+
+    doc = {"id": rec["entity_id"].rjust(8, "0")}
+    for k in ("entity_name", "address", "change_date", "category", "parse_mode"):
+        if rec.get(k) is not None:
+            doc[k] = rec[k]
+    for k in ("entity_names", "biz_items", "shareholders", "managers", "capital"):
+        v = rec.get(k)
+        if v:
+            doc[k] = _json.loads(v)
+    return doc
+
+
+def write_entity_json(records: DataFrame, dest: str) -> int:
+    """K1 compat writer (DetailCrawler.php:888-949): one pretty-printed
+    UTF-8-unescaped JSON file per entity under a FIRST-DIGIT directory
+    ({dest}/{id[0]}/{id}.json — the reference's partitioning at :899-906),
+    with the reference's 3-level encode fallback (:916-941): plain encode →
+    control-char-sanitized encode → minimal error document. Executed
+    per-partition on executors (distributed writer; the compat target is a
+    shared filesystem, exactly like the reference's data dir). Returns the
+    number of documents written."""
+    import json as _json
+
+    from biz_crawlers_spark.extract.pages import _sanitize_leaf
+
+    def _write_rows(rows) -> None:
+        for r in rows:
+            rec = r.asDict()
+            doc = entity_doc(rec)
+            eid = doc["id"]
+            sub = os.path.join(dest, eid[0])
+            os.makedirs(sub, exist_ok=True)
+            try:
+                s = _json.dumps(doc, ensure_ascii=False, indent=4)
+            except (TypeError, ValueError):
+                try:
+                    s = _json.dumps(_sanitize_leaf(doc), ensure_ascii=False, indent=4)
+                except (TypeError, ValueError):
+                    s = _json.dumps(
+                        {"id": eid, "error": "encode_failed"}, ensure_ascii=False, indent=4
+                    )
+            tmp = os.path.join(sub, f".{eid}.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(s)
+            os.replace(tmp, os.path.join(sub, f"{eid}.json"))
+
+    records.foreachPartition(_write_rows)
+    return records.count()
+
+
+def load_existing(records: DataFrame, wanted: DataFrame, key: str = "entity_id"):
+    """R12 cache read-through (BaseCrawler.php:242-265 loadExistingData +
+    GCISCrawler.php:466-482): split a requested key set into (hits = rows
+    already materialized in the records table, missing = keys that still
+    need crawling). The semi/anti pair is the distributed form of the
+    reference's "read the JSON store before recomputing" — callers feed
+    ``missing`` to the frontier and union ``hits`` straight into results."""
+    hits = records.join(wanted.select(key), key, "left_semi")
+    missing = wanted.select(key).distinct().join(records, key, "left_anti")
+    return hits, missing

@@ -143,7 +143,11 @@ class SnapTable:
     # ---------- write paths ----------
 
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int, bucketize: bool = True
+        self,
+        df: DataFrame,
+        snapshot_id: int,
+        bucketize: bool = True,
+        salt_n: int | None = None,
     ) -> list[dict]:
         """Write df bucketed by key; return manifest file entries.
         ``bucketize=False`` skips the bucket shuffle (for append-only tables
@@ -151,9 +155,22 @@ class SnapTable:
         -1, which every MERGE treats as always-touched."""
         dest = os.path.join(self.path, "data", f"s{snapshot_id}")
         if bucketize:
+            # write parallelism must not be capped at n_buckets: an
+            # INDEPENDENT salt (different hash seed than the bucket expr —
+            # same-modulus salts would be fully determined by the bucket)
+            # spreads each bucket over several writer tasks; partitionBy
+            # still lands every row in its bucket directory, just as
+            # multiple files (the manifest tracks files per bucket already)
+            par = self.spark.sparkContext.defaultParallelism
+            if salt_n is None:
+                salt_n = max(1, (par * 2) // self.n_buckets)
+            salt = F.pmod(
+                F.xxhash64(F.col(self.key_cols[0]).cast("string"), F.lit("_w")),
+                F.lit(salt_n),
+            )
             (
                 df.withColumn("_bucket", self._bucket_expr())
-                .repartition("_bucket")
+                .repartition(max(par, self.n_buckets), F.col("_bucket"), salt)
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(dest)
@@ -200,9 +217,11 @@ class SnapTable:
         new_files = self._write_data_files(df.select(*self._cols()), sid, bucketize)
         return self._commit("append", prev_files + new_files, summary)
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+    def overwrite(
+        self, df: DataFrame, summary: dict | None = None, salt_n: int | None = None
+    ) -> int:
         sid = self.current_snapshot_id() + 1
-        new_files = self._write_data_files(df.select(*self._cols()), sid)
+        new_files = self._write_data_files(df.select(*self._cols()), sid, salt_n=salt_n)
         return self._commit("overwrite", new_files, summary)
 
     def _cols(self) -> list[str]:
@@ -216,6 +235,7 @@ class SnapTable:
         summary: dict | None = None,
         delete: bool = False,
         prefer: str = "new",
+        dedupe: bool = True,
     ) -> int:
         """Upsert ``updates`` by key (or delete their keys if ``delete``).
 
@@ -228,14 +248,20 @@ class SnapTable:
         keep their values; update values only fill old NULLs).
         Unmatched update rows: inserted. Untouched buckets: carried over.
 
-        ``updates`` is defensively deduplicated on the key columns: duplicate
+        ``updates`` is defensively deduplicated on the key columns (duplicate
         keys in one update batch would otherwise fan out through the
-        full-outer join and permanently violate the table's key invariant
-        (e.g. the same image bytes extracted from two pages in one epoch).
+        full-outer join and permanently violate the table's key invariant —
+        e.g. the same image bytes extracted from two pages in one epoch);
+        callers that pre-deduplicate pass ``dedupe=False`` to skip the
+        shuffle. The updates plan is PERSISTED for the duration of the merge:
+        it is consumed twice (touched-bucket discovery, then the join+write),
+        and re-evaluating a plan that scans the epoch's staging output twice
+        measurably dominated the commit path.
         """
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
-        updates = updates.dropDuplicates(self.key_cols)
+        if dedupe:
+            updates = updates.dropDuplicates(self.key_cols)
 
         if not delete:
             ref = self.spark.createDataFrame([], self.schema_ddl)
@@ -244,41 +270,52 @@ class SnapTable:
             for f in missing:
                 updates = updates.withColumn(f.name, F.lit(None).cast(f.dataType))
         updates = updates.select(*(self._cols() if not delete else self.key_cols))
-        upd = updates.withColumn("_bucket", self._bucket_expr())
-        touched = sorted(
-            r["_bucket"] for r in upd.select("_bucket").distinct().collect()
-        )
-        touched_set = set(touched) | {-1}  # unbucketed files are always touched
-        keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
-        hit_files = [f for f in prev_files if f["bucket"] in touched_set]
+        from pyspark.storagelevel import StorageLevel
 
-        if hit_files:
-            old = self.spark.read.schema(self.schema_ddl).parquet(
-                *[os.path.join(self.path, f["path"]) for f in hit_files]
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            upd = updates.withColumn("_bucket", self._bucket_expr())
+            touched = sorted(
+                r["_bucket"] for r in upd.select("_bucket").distinct().collect()
             )
-        else:
-            old = self.spark.createDataFrame([], self.schema_ddl)
+            touched_set = set(touched) | {-1}  # unbucketed files are always touched
+            keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
+            hit_files = [f for f in prev_files if f["bucket"] in touched_set]
 
-        if delete:
-            merged = old.join(updates.select(*self.key_cols), on=self.key_cols, how="left_anti")
-            op = "delete"
-        else:
-            non_key = [c for c in self._cols() if c not in self.key_cols]
-            o = old.alias("o")
-            u = updates.alias("u")
-            first, second = ("u", "o") if prefer == "new" else ("o", "u")
-            merged = o.join(u, on=self.key_cols, how="full_outer").select(
-                *[F.coalesce(F.col(f"o.{k}"), F.col(f"u.{k}")).alias(k) for k in self.key_cols],
-                *[
-                    F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c)
-                    for c in non_key
-                ],
-            )
-            op = "merge"
+            if hit_files:
+                old = self.spark.read.schema(self.schema_ddl).parquet(
+                    *[os.path.join(self.path, f["path"]) for f in hit_files]
+                )
+            else:
+                old = self.spark.createDataFrame([], self.schema_ddl)
 
-        sid = parent + 1
-        new_files = self._write_data_files(merged, sid)
-        return self._commit(op, keep_files + new_files, summary)
+            if delete:
+                merged = old.join(
+                    updates.select(*self.key_cols), on=self.key_cols, how="left_anti"
+                )
+                op = "delete"
+            else:
+                non_key = [c for c in self._cols() if c not in self.key_cols]
+                o = old.alias("o")
+                u = updates.alias("u")
+                first, second = ("u", "o") if prefer == "new" else ("o", "u")
+                merged = o.join(u, on=self.key_cols, how="full_outer").select(
+                    *[
+                        F.coalesce(F.col(f"o.{k}"), F.col(f"u.{k}")).alias(k)
+                        for k in self.key_cols
+                    ],
+                    *[
+                        F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c)
+                        for c in non_key
+                    ],
+                )
+                op = "merge"
+
+            sid = parent + 1
+            new_files = self._write_data_files(merged, sid)
+            return self._commit(op, keep_files + new_files, summary)
+        finally:
+            updates.unpersist()
 
     # ---------- maintenance ----------
 
@@ -291,9 +328,12 @@ class SnapTable:
         self._atomic_write(os.path.join(self.path, "_current"), str(max(snapshot_id, -1)))
 
     def compact(self, summary: dict | None = None) -> int:
-        """Rewrite the current snapshot into one fresh file set per bucket
-        (collapses append accumulation; analog of small-file compaction)."""
-        return self.overwrite(self.read(), summary={**(summary or {}), "compaction": True})
+        """Rewrite the current snapshot into one fresh file per non-empty
+        bucket (salt_n=1 disables the write-parallelism salt — compaction's
+        whole point is the minimal file count)."""
+        return self.overwrite(
+            self.read(), summary={**(summary or {}), "compaction": True}, salt_n=1
+        )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg-shaped maintenance: drop manifests older than the last

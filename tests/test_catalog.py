@@ -1,0 +1,61 @@
+"""S11 — dataset-catalog JSON walk (crawl-others.php:89-126)."""
+
+from __future__ import annotations
+
+import json
+
+from biz_crawlers_spark.sources.catalog import catalog_seeds, pick_csv_distribution
+
+
+def _catalog(*dists) -> bytes:
+    return json.dumps({"result": {"distribution": list(dists)}}).encode("utf-8")
+
+
+def test_pick_first_csv_distribution():
+    doc = _catalog(
+        {"resourceFormat": "JSON", "resourceDownloadUrl": "https://d.test/a.json"},
+        {"resourceFormat": "CSV", "resourceDownloadUrl": "https://d.test/b.csv"},
+        {"resourceFormat": "CSV", "resourceDownloadUrl": "https://d.test/c.csv"},
+    )
+    assert pick_csv_distribution(doc) == "https://d.test/b.csv"  # FIRST csv
+
+
+def test_pick_csv_by_url_suffix_and_alt_keys():
+    doc = _catalog({"format": "", "downloadURL": "https://d.test/x.CSV?v=1"})
+    assert pick_csv_distribution(doc) == "https://d.test/x.CSV?v=1"
+
+
+def test_no_csv_or_malformed():
+    assert pick_csv_distribution(_catalog({"resourceFormat": "XML",
+                                           "resourceDownloadUrl": "https://d.test/a.xml"})) is None
+    assert pick_csv_distribution(b"{not json") is None
+    assert pick_csv_distribution(json.dumps({"result": {}}).encode()) is None
+
+
+def test_catalog_seeds_order_and_skip():
+    cats = [
+        ("ds1", _catalog({"resourceFormat": "CSV",
+                          "resourceDownloadUrl": "https://h0.test/one.csv"})),
+        ("ds2", _catalog({"resourceFormat": "PDF",
+                          "resourceDownloadUrl": "https://h0.test/two.pdf"})),
+        ("ds3", _catalog({"resourceFormat": "CSV",
+                          "resourceDownloadUrl": "https://h1.test/three.csv"})),
+    ]
+    seeds = catalog_seeds(cats, base_priority=50)
+    assert [s.url for s in seeds] == ["https://h0.test/one.csv", "https://h1.test/three.csv"]
+    assert [s.priority for s in seeds] == [50, 52]  # catalog order preserved
+    assert seeds[1].host == "h1.test"
+
+
+def test_r12_load_existing_read_through(spark):
+    from biz_crawlers_spark.sinks import load_existing
+
+    records = spark.createDataFrame(
+        [("00000001", "a"), ("00000002", "b")], "entity_id string, entity_name string"
+    )
+    wanted = spark.createDataFrame(
+        [("00000002",), ("00000003",), ("00000003",)], "entity_id string"
+    )
+    hits, missing = load_existing(records, wanted)
+    assert [r["entity_id"] for r in hits.collect()] == ["00000002"]
+    assert [r["entity_id"] for r in missing.collect()] == ["00000003"]

@@ -283,3 +283,44 @@ def test_reseed_dedups_before_fetch(spark, tmp_path):
     assert stats["deduped"] > 0
     total_fetched_after = eng.lineage.read().agg(F.sum("fetched")).collect()[0][0]
     assert total_fetched_after == total_fetched_before
+
+
+def test_schedule_and_request_spec_parity(spark, tmp_path):
+    """S3/P6/S4: the engine's per-host virtual politeness clock — including
+    session warmups (2-request init), session-reset recharges on every 2nd
+    retry, linear retry waits, and the POST form spec for search pages —
+    must equal the sequential reference simulator's clock EXACTLY, per
+    url_key (single epoch, strict host-per-partition mode)."""
+    import os
+
+    budget = PolitenessBudget(
+        time_scale=0.0, warmup_requests=2, backoff="linear", retry_delay_s=3.0
+    )
+    seeds = company_seed(114, 3) + search_seed(25, base_priority=5000)
+    sim = ReferenceSimulator(FixtureWeb(**WEB_PARAMS), budget).run(seeds)
+    assert sim.counters["retried"] > 0, "fixture must exercise retries"
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "sched"), web_params=WEB_PARAMS, budget=budget,
+        per_host_budget=10**9, bloom_shards=4, bloom_bits=1 << 16,
+        table_buckets=4, fetch_partitions=4, keep_staging=True,
+    )
+    eng.seed_from_urls(seeds)
+    st = eng.run_epoch()
+    assert st["ok"] > 0, "search POSTs must succeed (S4 spec validated by fixture)"
+
+    staged = spark.read.parquet(os.path.join(eng.workdir, "staging", "epoch=0"))
+    rows = staged.filter(F.col("row_type") == "status").collect()
+    eng_sched = {r["url_key"]: r["scheduled_at"] for r in rows}
+    eng_status = {r["url_key"]: r["status"] for r in rows}
+    sim_keys = set(sim.schedule)
+    assert sim_keys == {
+        k for k, s in eng_status.items() if s != "robots_denied"
+    }
+    for k in sim_keys:
+        assert eng_sched[k] == sim.schedule[k], (
+            f"schedule divergence for {k}: {eng_sched[k]} != {sim.schedule[k]}"
+        )
+    for k, s in sim.statuses.items():
+        if s != "robots_denied":
+            assert eng_status[k] == s

@@ -93,3 +93,39 @@ def test_export_sinks(spark, tmp_path):
     csv_dest = export_csv(df, str(tmp_path / "csv"))
     got = spark.read.option("header", True).csv(csv_dest).collect()
     assert len(got) == 3
+
+
+def test_entity_json_compat_writer(spark, tmp_path):
+    """K1 (DetailCrawler.php:888-949): one JSON doc per entity, first-digit
+    dirs, UTF-8 unescaped; docs byte-equal to the simulator-derived golden
+    docs built from the same record surface."""
+    import json
+    import os
+
+    from biz_crawlers_spark.fixtures.web import FixtureWeb, business_seed
+    from biz_crawlers_spark.politeness.budget import PolitenessBudget
+    from biz_crawlers_spark.simulator.reference_sim import ReferenceSimulator
+    from biz_crawlers_spark.sinks import entity_doc, write_entity_json
+
+    seeds = company_seed(114, 3) + business_seed(114, 3, base_priority=100)
+    eng = _engine(spark, str(tmp_path / "k1"), per_host_budget=10_000)
+    eng.seed_from_urls(seeds)
+    eng.run(max_epochs=10)
+    dest = str(tmp_path / "docs")
+    n = write_entity_json(eng.records.read(), dest)
+    assert n == eng.records.read().count() and n > 20
+
+    sim = ReferenceSimulator(FixtureWeb(**WEB), PolitenessBudget(time_scale=0)).run(seeds)
+    assert len(sim.records) == n
+    for eid, sr in sim.records.items():
+        path = os.path.join(dest, eid[0], f"{eid}.json")
+        assert os.path.exists(path), f"missing doc {path}"
+        golden = json.dumps(entity_doc({"entity_id": eid, **sr, "category": None,
+                                        "parse_mode": sr["parse_mode"]}),
+                            ensure_ascii=False, indent=4)
+        written = open(path, encoding="utf-8").read()
+        wd = json.loads(written)
+        gd = json.loads(golden)
+        gd.pop("category", None); wd.pop("category", None)
+        assert wd == gd, f"{eid}: doc mismatch"
+        assert "\\u" not in written.split('"id"')[0]  # UNESCAPED_UNICODE
