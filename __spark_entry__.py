@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_prefix": D.dedup_ngram_jaccard_prefix,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,  # rows-only (probabilistic)
         "dedup_simhash": D.dedup_simhash,  # rows-only (hash fn not in SQL)
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": FP_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
+        "dedup_ngram_jaccard_prefix": JACCARD_SQL,  # identical output by design
         "dedup_embedding_cosine": COSDUP_SQL,
         "ann_bruteforce": ANN_SQL,
     }

@@ -41,6 +41,9 @@ BENCH_QUERIES = {
     "q9_dedup_exact": D.dedup_exact,
     "q10_dedup_minhash_lsh": D.dedup_minhash_lsh,
     "q11_ann_bruteforce": S.ann_bruteforce,
+    # q12 = crawl epoch (added below); new round-2 headliners:
+    "q13_dedup_jaccard": D.dedup_ngram_jaccard,  # fused-length-filter count join
+    "q14_dedup_simhash": D.dedup_simhash,
 }
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "20000"))

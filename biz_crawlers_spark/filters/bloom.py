@@ -22,6 +22,13 @@ memory per run (GCISCrawler.php:484-511) — with a structure that scales:
 
 Spark integration keeps everything co-partitioned by shard: one shuffle on
 (shard), then applyInPandas groups load/update exactly one shard file each.
+
+SIZING KNOB: ``n_shards`` caps the prefilter/insert parallelism (one task
+per shard), so set it to at least the executor-core count of the target
+cluster — the benches use n_shards = cores; at the north_rule's 10^10 keys
+you want hundreds of shards anyway so each shard's bit array (m_bits/8
+bytes) stays comfortably in one task's memory. Shards are independent
+files; raising the count is a rebuild, not a redesign.
 """
 
 from __future__ import annotations

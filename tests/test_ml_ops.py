@@ -129,3 +129,23 @@ def test_video_stub_raises(spark):
     df = MM.synthetic_images_df(spark, n=1)
     with pytest.raises(NotImplementedError):
         MM.frame_sample_video(df)
+
+
+def test_wav_decode_real_riff(spark):
+    """Real audio path: stdlib-wave RIFF decode inside mapInPandas — correct
+    rates/durations/feature values for sine bursts, error row for garbage."""
+    import numpy as np
+
+    from biz_crawlers_spark.ml.multimodal import decode_wav_features, synthetic_wav_df
+
+    feats = {r["clip_id"]: r for r in decode_wav_features(synthetic_wav_df(spark)).collect()}
+    assert len(feats) == 17
+    bad = feats.pop("clip_bad")
+    assert bad["error"] and bad["rms"] is None
+    for cid, r in feats.items():
+        assert r["error"] is None
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["n_samples"] == 2000 and abs(r["duration_s"] - 0.25) < 1e-9
+        # sine RMS ≈ amp/√2 within rounding of the int16 quantization
+        assert abs(r["rms"] - r["peak"] / np.sqrt(2)) / r["peak"] < 0.02
+        assert r["zero_crossings"] > 50

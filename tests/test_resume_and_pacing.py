@@ -129,3 +129,35 @@ def test_entity_json_compat_writer(spark, tmp_path):
         gd.pop("category", None); wd.pop("category", None)
         assert wd == gd, f"{eid}: doc mismatch"
         assert "\\u" not in written.split('"id"')[0]  # UNESCAPED_UNICODE
+
+
+def test_partial_epoch_commit_rolls_back_on_resume(spark, tmp_path):
+    """Epoch-group atomicity: a crash BETWEEN two table commits leaves some
+    tables ahead of the state record; resume() must roll them back so the
+    interrupted epoch re-runs in full and the final tables equal an
+    uninterrupted run (no seen keys without order/lineage evidence)."""
+    seeds = company_seed(114, 3)
+    eng = _engine(spark, str(tmp_path / "atomic"), per_host_budget=10_000)
+    eng.seed_from_urls(seeds)
+    eng.run(max_epochs=10)
+    golden = _tables_snapshot(eng)
+    state_epoch = eng.current_epoch()
+
+    # simulate a crash mid-commit-group: seen + images advanced, the state
+    # record (and the other tables) did not
+    from pyspark.sql import functions as F2
+
+    eng.seen.append(
+        spark.createDataFrame([(12345, 99)], "url_key long, seen_epoch int")
+    )
+    eng.images.merge(
+        eng.images.read().limit(1).withColumn("caption", F2.lit("torn-write")),
+    )
+    assert {r["url_key"] for r in eng.seen.read().collect()} != set(golden[1])
+
+    fresh = _engine(spark, str(tmp_path / "atomic"), per_host_budget=10_000)
+    n_actions = fresh.resume()
+    assert n_actions >= 2  # both tables rolled back
+    assert fresh.current_epoch() == state_epoch
+    assert _tables_snapshot(fresh) == golden
+    assert not fresh.images.read().filter(F2.col("caption") == "torn-write").count()

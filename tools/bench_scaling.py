@@ -27,7 +27,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "100000"))
+# >= 10^6 rows per the sandbox measurement protocol (BENCH/BASELINE.md):
+# scheduling/commit overhead must amortize for the ratio to measure the engine
+N_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "1000000"))
 N_HOSTS = 256
 # the N and 4N parallelism levels (cores); see BENCH/BASELINE.md for why the
 # default pair sits below this box's memory-bandwidth wall
