@@ -620,13 +620,44 @@ class CrawlEngine:
             "cache_hits": totals["cache_hits"], "drained": False,
         }
 
-    def run(self, max_epochs: int = 100) -> list[dict]:
+    def run(self, max_epochs: int = 100, maintain_every: int = 0) -> list[dict]:
+        """Epoch loop; ``maintain_every`` > 0 runs vacuum() every N epochs
+        (the long-crawl storage-maintenance cadence)."""
         out = []
-        for _ in range(max_epochs):
+        for i in range(max_epochs):
             stats = self.run_epoch()
             out.append(stats)
             if stats["drained"]:
                 break
+            if maintain_every and (i + 1) % maintain_every == 0:
+                self.vacuum()
         return out
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Storage maintenance for long crawls: expire old table snapshots
+        (SnapTable copy-on-write history is the dominant storage cost at
+        10^10 rows), prune Bloom/cuckoo filter version directories, and drop
+        staging dirs older than the current epoch when they are not being
+        kept as the archive. Retention ≥ 2 keeps the resume() rollback
+        window intact (the state record never points more than one snapshot
+        back); time travel remains available inside the window."""
+        keep_last = max(keep_last, 2)
+        stats: dict = {}
+        for name in self.TABLE_NAMES:
+            stats[name] = getattr(self, name).expire_snapshots(keep_last=keep_last)
+        stats["bloom_versions_removed"] = self.bloom.expire_versions(keep_last)
+        cf = self._seen_cuckoo()
+        if cf is not None:
+            stats["cuckoo_versions_removed"] = cf.expire_versions(keep_last)
+        if not self.keep_staging:
+            import shutil
+
+            sdir = os.path.join(self.workdir, "staging")
+            if os.path.isdir(sdir):
+                epoch = self.current_epoch()
+                for d in os.listdir(sdir):
+                    if d.startswith("epoch=") and int(d.split("=")[1]) < epoch:
+                        shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+        return stats
 
 

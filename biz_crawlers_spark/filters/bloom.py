@@ -110,6 +110,26 @@ class BloomShards:
     def _shard_file(self, version: int, s: int) -> str:
         return os.path.join(self.path, f"v{version}", f"shard-{s}.npy")
 
+    def expire_versions(self, keep_last: int = 2) -> int:
+        """Drop shard-file versions older than the last ``keep_last``
+        (hardlinked untouched shards cost nothing, but every TOUCHED shard
+        leaves a full bit-array copy per epoch — at 10^10-key scale the
+        version history, not the live filter, dominates storage). The
+        current version is never expired; returns directories removed."""
+        cur = self.current_version()
+        removed = 0
+        for name in os.listdir(self.path):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= cur - keep_last:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                removed += 1
+        return removed
+
     def shard_of(self, keys: np.ndarray) -> np.ndarray:
         r = keys.astype(np.int64) % self.n_shards
         return np.where(r < 0, r + self.n_shards, r)

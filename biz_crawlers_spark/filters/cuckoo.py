@@ -186,6 +186,22 @@ class CuckooShards:
     def _shard_file(self, version: int, s: int) -> str:
         return os.path.join(self.path, f"v{version}", f"shard-{s}.npy")
 
+    def expire_versions(self, keep_last: int = 2) -> int:
+        """Same retention policy as BloomShards.expire_versions."""
+        cur = self.current_version()
+        removed = 0
+        for name in os.listdir(self.path):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= cur - keep_last:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                removed += 1
+        return removed
+
     # ---------- local API (tests / small scale) ----------
 
     def contains(self, keys: np.ndarray) -> np.ndarray:

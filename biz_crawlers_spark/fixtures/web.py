@@ -305,8 +305,10 @@ class FixtureWeb:
                 f"<p>category:{category}</p></body></html>"
             )
         elif self._mod(key >> 2, 13) == 0:
-            # malformed primary grammar: txt_td cells only — the X8 fallback
-            # whitelist + X12 cleaning battery must salvage this page
+            # genuinely malformed page: txt_td label cells AND no <table>
+            # wrapper (bare <tr> soup) — both the compiled KV grammar and a
+            # DOM table walk fail; only the X8 regex-fallback whitelist +
+            # X12 cleaning battery salvage it (DetailCrawler.php:1078-1153)
             name_line = entity_name.splitlines()[0]
             rows = (
                 f'<tr><td class="txt_td">統一編號</td><td>{entity_id}</td></tr>'
@@ -319,7 +321,7 @@ class FixtureWeb:
                 f'<tr><td class="txt_td">所營事業資料</td><td>F102030 餐館業 F203010 食品什貨</td></tr>'
             )
             html = (
-                f"<html><body><div id='tabCmpyContent'><table>{rows}</table></div>"
+                f"<html><body><div id='tabCmpyContent'>{rows}</div>"
                 f"<div class='seals'>{figs}</div>"
                 f"<p>category:{category}</p></body></html>"
             )

@@ -146,3 +146,48 @@ def test_d9_cache_routing_reparse_without_refetch(spark, tmp_path):
     # lineage carries the cache_hits evidence
     total_hits = broken.lineage.read().agg(F.sum("cache_hits")).collect()[0][0]
     assert total_hits == 2
+
+
+def test_vacuum_storage_maintenance(spark, tmp_path):
+    """vacuum(): snapshot/filter-version retention shrinks on-disk state
+    while the live tables, the Bloom/cuckoo state, and resumability stay
+    intact (crash-rollback window preserved)."""
+    import os
+
+    def _du(path):
+        total = 0
+        for dp, _, fns in os.walk(path):
+            for fn in fns:
+                total += os.path.getsize(os.path.join(dp, fn))
+        return total
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "vac"), web_params=WEB,
+        budget=PolitenessBudget(time_scale=0), per_host_budget=7,
+        bloom_shards=4, bloom_bits=1 << 16, table_buckets=4, fetch_partitions=4,
+    )
+    eng.seed_from_urls(company_seed(114, 3))
+    stats = eng.run(max_epochs=30)  # small budget => many epochs => history
+    assert stats[-1]["drained"]
+    golden = sorted(r["url_key"] for r in eng.seen.read().collect())
+    n_records = eng.records.read().count()
+
+    before = _du(str(tmp_path / "vac"))
+    vs = eng.vacuum(keep_last=2)
+    after = _du(str(tmp_path / "vac"))
+    assert after < before
+    assert sum(v.get("expired_snapshots", 0) for v in vs.values()
+               if isinstance(v, dict)) > 0
+    assert vs["bloom_versions_removed"] >= 1
+
+    # tables unharmed, engine still resumable and re-runnable
+    fresh = CrawlEngine(
+        spark, str(tmp_path / "vac"), web_params=WEB,
+        budget=PolitenessBudget(time_scale=0), per_host_budget=7,
+        bloom_shards=4, bloom_bits=1 << 16, table_buckets=4, fetch_partitions=4,
+    )
+    fresh.resume()
+    assert sorted(r["url_key"] for r in fresh.seen.read().collect()) == golden
+    assert fresh.records.read().count() == n_records
+    st = fresh.run_epoch()
+    assert st["drained"] or st["fetched"] == 0
