@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_clean_battery": Q.x12_clean_battery,
         "x16_zero_pad": Q.x16_zero_pad,
         "q_join_revenue_per_nation": Q.q_join_revenue_per_nation,
+        "q_rollup_revenue": Q.q_rollup_revenue,
         "w1_running_sum": Q.w1_running_sum,
         "events_tumbling_window": Q.events_tumbling_window,
         # text analysis (documents)
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "x12_clean_battery": Q.X12_SQL,
         "x16_zero_pad": Q.X16_SQL,
         "q_join_revenue_per_nation": Q.JOIN_SQL,
+        "q_rollup_revenue": Q.ROLLUP_SQL,
         "w1_running_sum": Q.W1_SQL,
         "events_tumbling_window": Q.EVENTS_SQL,
         "token_stats": TOKEN_SQL,

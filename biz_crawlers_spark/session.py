@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd beats snappy on BOTH wall time and size for this workload
+        # (staging write of 100k pages: 16.9 s/146 MB snappy → 13.1 s/140 MB
+        # zstd — the binary image columns are already-compressed PNG/QJPG, so
+        # cheap-but-weak codecs waste CPU for nothing)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -59,3 +59,27 @@ def test_r12_load_existing_read_through(spark):
     hits, missing = load_existing(records, wanted)
     assert [r["entity_id"] for r in hits.collect()] == ["00000002"]
     assert [r["entity_id"] for r in missing.collect()] == ["00000003"]
+
+
+def test_crawl_cli_gcis_and_detail(spark, tmp_path, capsys):
+    """CLI parity surface (crawl.php dispatch, crawl-details.php ID slicing):
+    gcis company crawl drains; detail with --ids sorts, offsets, validates."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import crawl_cli
+
+    s = crawl_cli.main(["gcis", "--company", "--year", "114", "--month", "3",
+                        "--workdir", str(tmp_path / "cli"), "--cpus", "4"])
+    assert s["drained"] and s["ok"] > 20 and s["images"] > 20
+
+    ids = "00000123,99999999,00000042"
+    s2 = crawl_cli.main(["detail", "--ids", ids, "--offset", "1", "--limit", "2",
+                         "--workdir", str(tmp_path / "cli2"), "--cpus", "4"])
+    assert s2["fetched"] >= 2  # 2 search fetches (+ two-hop details)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        crawl_cli.main(["detail", "--ids", "not-a-number",
+                        "--workdir", str(tmp_path / "cli3")])
