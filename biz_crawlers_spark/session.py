@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory coalesces the epoch's skinny-row merge joins
+        # (600k frontier rows ≈ 70 MB) down to 1-2 partitions — serializing
+        # them on one core; 8m keeps small-table joins parallel (measured:
+        # 600k-URL epoch at 32 cores 98.3 s → 90.3 s)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
