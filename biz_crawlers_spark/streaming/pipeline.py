@@ -155,3 +155,52 @@ def stream_ingest_foreachBatch(events: DataFrame, table, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_crawl_streaming(engine, trigger_seconds: float = 0.1, max_epochs: int = 100):
+    """The crawl loop as a literal Structured Streaming query (the
+    north_rule's "each crawl epoch is a Structured-Streaming-style
+    micro-batch", made non-figurative): a rate source ticks micro-batches
+    and ``foreachBatch`` runs one frontier epoch per tick — identical
+    commits, identical snapshots, identical crawl-order evidence as the
+    driver loop (engine.run), because foreachBatch IS the epoch scheduler
+    here. The query self-stops when the frontier drains.
+
+    Why both exist: the bounded driver loop gives the bench deterministic
+    timing; this wrapper is the deployment shape for a continuous crawl
+    (trigger cadence = re-poll interval once the frontier is empty).
+    Returns the per-epoch stats list, like engine.run().
+    """
+    stats: list[dict] = []
+    done = {"flag": False}
+
+    def one_epoch(_batch_df, _batch_id: int) -> None:
+        if done["flag"]:
+            return
+        s = engine.run_epoch()
+        stats.append(s)
+        if s["drained"] or len(stats) >= max_epochs:
+            done["flag"] = True
+
+    q = (
+        engine.spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.foreachBatch(one_epoch)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .option(
+            "checkpointLocation",
+            f"{engine.workdir}/_stream_checkpoint",
+        )
+        .start()
+    )
+    try:
+        import time as _time
+
+        while not done["flag"]:
+            if q.exception() is not None:
+                raise q.exception()
+            _time.sleep(0.05)
+    finally:
+        q.stop()
+    return stats

@@ -117,3 +117,41 @@ def test_foreachBatch_snapshot_ingest(spark, tmp_path):
     q.awaitTermination(120)
     assert tbl.read().count() == len(rows)
     assert len(tbl.snapshots()) >= 1  # each micro-batch an atomic commit
+
+def test_streaming_crawl_driver_equals_batch_loop(spark, tmp_path):
+    """run_crawl_streaming (rate source + foreachBatch epochs) must produce
+    byte-equal tables to the bounded driver loop on the same seeds."""
+    from biz_crawlers_spark.engine.crawl import CrawlEngine
+    from biz_crawlers_spark.fixtures.web import company_seed, school_seed
+    from biz_crawlers_spark.politeness.budget import PolitenessBudget
+    from biz_crawlers_spark.streaming.pipeline import run_crawl_streaming
+
+    def _engine(wd):
+        return CrawlEngine(
+            spark, str(wd), web_params={"seed": 42, "n_hosts": 4},
+            budget=PolitenessBudget(time_scale=0), per_host_budget=10_000,
+            bloom_shards=4, bloom_bits=1 << 16, table_buckets=4,
+            fetch_partitions=4,
+        )
+
+    seeds = company_seed(114, 3) + school_seed(base_priority=1000)
+
+    a = _engine(tmp_path / "batch")
+    a.seed_from_urls(seeds)
+    a.run(max_epochs=30)
+
+    b = _engine(tmp_path / "stream")
+    b.seed_from_urls(seeds)
+    stats = run_crawl_streaming(b, max_epochs=30)
+    assert stats[-1]["drained"]
+
+    def snap(eng):
+        seen = sorted(r["url_key"] for r in eng.seen.read().collect())
+        imgs = sorted(r["image_id"] for r in eng.images.read().collect())
+        order = sorted(
+            (r["host"], r["epoch"], r["host_seq"], r["url_key"])
+            for r in eng.order_log.read().collect()
+        )
+        return seen, imgs, order
+
+    assert snap(a) == snap(b)
