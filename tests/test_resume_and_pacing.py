@@ -161,3 +161,44 @@ def test_partial_epoch_commit_rolls_back_on_resume(spark, tmp_path):
     assert fresh.current_epoch() == state_epoch
     assert _tables_snapshot(fresh) == golden
     assert not fresh.images.read().filter(F2.col("caption") == "torn-write").count()
+
+
+def test_report_to_detail_pipeline_handoff(spark, tmp_path):
+    """The reference's primary workflow chained end-to-end (§3.1 → §3.2):
+    a gcis report crawl produces entity IDs; the ID-list text file is the
+    hand-off artifact (K3, BaseCrawler.php:267-291); a detail crawl consumes
+    it (crawl-details.php:163 --file), sorted + sliced, and two-hops
+    search → latest detail for each."""
+    from pyspark.sql import functions as F
+
+    from biz_crawlers_spark.sinks import read_id_list, write_id_list
+
+    # stage 1: report crawl
+    a = _engine(spark, str(tmp_path / "stage1"), per_host_budget=10_000)
+    a.seed_from_urls(company_seed(114, 3))
+    a.run(max_epochs=10)
+    ids = a.records.read().select(F.col("entity_id").alias("id"))
+    n_ids = ids.count()
+    assert n_ids > 20
+    dest = str(tmp_path / "ids")
+    assert write_id_list(ids, "id", dest)
+
+    # stage 2: detail crawl seeded from the hand-off file (CLI path)
+    import sys
+
+    sys.path.insert(0, "tools")
+    import crawl_cli
+
+    back = read_id_list(spark, dest)
+    assert back.count() == n_ids
+    idfile = str(tmp_path / "ids.txt")
+    with open(idfile, "w") as f:
+        for r in back.orderBy("id").collect():
+            f.write(r["id"] + "\n")
+    s = crawl_cli.main(["detail", "--file", idfile, "--limit", "10",
+                        "--workdir", str(tmp_path / "stage2"), "--cpus", "4"])
+    assert s["fetched"] >= 10  # 10 searches + their two-hop details
+    b = type(a)(spark, str(tmp_path / "stage2"),
+                web_params={"seed": 42, "n_hosts": 4})
+    # detail records exist for the searched ids that resolved
+    assert b.records.read().count() > 0
