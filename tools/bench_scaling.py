@@ -108,8 +108,22 @@ def main() -> None:
               "scaling_efficiency_images": round(eff_imgs, 3)}
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling_result.json", "w") as f:
-        json.dump(result, f, indent=2)
+    # MERGE into the consolidated file: every run is appended under "runs"
+    # (never clobber earlier pairs/configs — the report tables all of them)
+    path = "BENCH/scaling_result.json"
+    doc = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except ValueError:
+            doc = {}
+    doc.setdefault("runs", []).append(
+        {"levels": f"{lo}->{hi}", "n_urls": N_URLS, **result}
+    )
+    doc["latest"] = result
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
 
 
 if __name__ == "__main__":
