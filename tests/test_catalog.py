@@ -83,3 +83,40 @@ def test_crawl_cli_gcis_and_detail(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         crawl_cli.main(["detail", "--ids", "not-a-number",
                         "--workdir", str(tmp_path / "cli3")])
+
+
+def test_pyfiles_zip_is_self_contained(tmp_path):
+    """north_rule packaging: the --py-files archive alone (repo dir NOT
+    importable) must run a full crawl epoch — executors included (zipimport
+    on worker side). Guards against modules missing from the archive."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, os.path.join(root, "tools", "make_pyfiles.py")],
+                   check=True, capture_output=True)
+    zip_path = os.path.join(root, "dist", "biz_crawlers_spark.zip")
+    prog = (
+        "import sys, tempfile\n"
+        "assert all(p != %r for p in sys.path)\n"
+        "import biz_crawlers_spark\n"
+        "assert 'biz_crawlers_spark.zip' in biz_crawlers_spark.__file__\n"
+        "from biz_crawlers_spark.session import get_spark\n"
+        "from biz_crawlers_spark.engine.crawl import CrawlEngine\n"
+        "from biz_crawlers_spark.fixtures.web import company_seed\n"
+        "from biz_crawlers_spark.politeness.budget import PolitenessBudget\n"
+        "spark = get_spark(cores=2, shuffle_partitions=2, app='zipsmoke')\n"
+        "eng = CrawlEngine(spark, tempfile.mkdtemp(), web_params={'seed':42,'n_hosts':4},\n"
+        "    budget=PolitenessBudget(time_scale=0), per_host_budget=10_000,\n"
+        "    bloom_shards=2, bloom_bits=1<<16, table_buckets=2, fetch_partitions=2)\n"
+        "eng.seed_from_urls(company_seed(114, 3))\n"
+        "stats = eng.run(max_epochs=5)\n"
+        "assert stats[-1]['drained'] and sum(s['ok'] for s in stats) > 20\n"
+        "print('ZIP_OK')\n"
+    ) % root
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = zip_path
+    out = subprocess.run([sys.executable, "-c", prog], cwd=str(tmp_path),
+                         env=env, capture_output=True, text=True, timeout=400)
+    assert "ZIP_OK" in out.stdout, out.stderr[-2000:]
