@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_roc_date_roundtrip": Q.x9_roc_date_roundtrip,
         "x12_clean_battery": Q.x12_clean_battery,
         "x16_zero_pad": Q.x16_zero_pad,
+        "x1_report_ids": Q.x1_report_ids,
         "q_join_revenue_per_nation": Q.q_join_revenue_per_nation,
         "q_rollup_revenue": Q.q_rollup_revenue,
         "w1_running_sum": Q.w1_running_sum,
@@ -89,6 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_ngram_jaccard_prefix": D.dedup_ngram_jaccard_prefix,
+        # the high-threshold regime (both strategies, same oracle — the
+        # measured crossover where prefix filtering starts to pay)
+        "dedup_ngram_jaccard_t07": lambda sp, sf: D.dedup_ngram_jaccard(
+            sp, sf, threshold=0.7
+        ),
+        "dedup_ngram_jaccard_prefix_t07": lambda sp, sf: D.dedup_ngram_jaccard_prefix(
+            sp, sf, threshold=0.7
+        ),
         "dedup_minhash_lsh": D.dedup_minhash_lsh,  # rows-only (probabilistic)
         "dedup_simhash": D.dedup_simhash,  # rows-only (hash fn not in SQL)
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -171,7 +180,8 @@ SELECT d.doc_id, c.canonical_id, d.doc_id <> c.canonical_id AS is_dup
 FROM d JOIN c USING (content_fp) ORDER BY doc_id
 """
 
-JACCARD_SQL = r"""
+def _jaccard_sql(t: float) -> str:
+    return rf"""
 WITH d AS (
   SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents
 ),
@@ -193,9 +203,12 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) >= 0.5
+WHERE round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) >= {t}
 ORDER BY id_a, id_b
 """
+
+
+JACCARD_SQL = _jaccard_sql(0.5)
 
 COSDUP_SQL = r"""
 WITH e AS (
@@ -249,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "x9_roc_date_roundtrip": Q.X9_SQL,
         "x12_clean_battery": Q.X12_SQL,
         "x16_zero_pad": Q.X16_SQL,
+        "x1_report_ids": Q.X1_SQL,
         "q_join_revenue_per_nation": Q.JOIN_SQL,
         "q_rollup_revenue": Q.ROLLUP_SQL,
         "w1_running_sum": Q.W1_SQL,
@@ -260,6 +274,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
         "dedup_ngram_jaccard_prefix": JACCARD_SQL,  # identical output by design
+        "dedup_ngram_jaccard_t07": _jaccard_sql(0.7),
+        "dedup_ngram_jaccard_prefix_t07": _jaccard_sql(0.7),
         "dedup_embedding_cosine": COSDUP_SQL,
         "ann_bruteforce": ANN_SQL,
     }

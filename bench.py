@@ -10,6 +10,20 @@ Politeness is honored in virtual time (schedule identical, no wall sleeping)
 and the seed uses many hosts so the measurement reflects engine overhead,
 not the per-host politeness serialization (see BENCH/BASELINE.md).
 
+Measurement hygiene (VERDICT r2 "Next round" #7): every query first runs a
+WARMUP execution at sf0.001 through the noop sink — same plan shape, so the
+JVM JITs / codegen-compiles the same generated classes — then the timed pass
+runs at the target SF in a fixed order. Round-2's 15-40% drift on unchanged
+queries came from timing cold code paths in a shared JVM whose heavy new
+queries shifted GC/JIT state.
+
+Dedup lineup (VERDICT r2 "Next round" #3): the PRODUCTION near-dup path at
+t=0.5 is MinHash-LSH (q10). The exact-Jaccard strategies are benched at
+t=0.7 — the high-threshold regime where both are viable at scale — as the
+count-join (q13) NEXT TO the PPJOIN prefix variant (q15), so the documented
+crossover is in the numbers. The exact join at t=0.5 remains an ORACLE
+(correctness twin), not a benchmark headliner.
+
 Each query executes to completion through the noop sink (full computation,
 no driver collect).
 """
@@ -39,20 +53,23 @@ BENCH_QUERIES = {
     "q7_token_stats": TX.token_stats,
     "q8_quality_score": TX.quality_score,
     "q9_dedup_exact": D.dedup_exact,
-    "q10_dedup_minhash_lsh": D.dedup_minhash_lsh,
+    "q10_dedup_minhash_lsh": D.dedup_minhash_lsh,  # production fuzzy path, t=0.5
     "q11_ann_bruteforce": S.ann_bruteforce,
-    # q12 = crawl epoch (added below); new round-2 headliners:
-    "q13_dedup_jaccard": D.dedup_ngram_jaccard,  # fused-length-filter count join
+    # q12 = crawl epoch (added below)
+    "q13_dedup_jaccard_t07": lambda sp, sf: D.dedup_ngram_jaccard(sp, sf, threshold=0.7),
     "q14_dedup_simhash": D.dedup_simhash,
+    "q15_dedup_jaccard_prefix_t07": lambda sp, sf: D.dedup_ngram_jaccard_prefix(
+        sp, sf, threshold=0.7
+    ),
+    "q16_report_ids": Q.x1_report_ids,
 }
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "20000"))
 CRAWL_N_HOSTS = 256
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
 def bench_crawl(spark, cpus: int) -> dict:
-    from pyspark.sql import functions as F
-
     from biz_crawlers_spark.engine.crawl import CrawlEngine
     from biz_crawlers_spark.frontier.seed import synthetic_seed_df
     from biz_crawlers_spark.politeness.budget import PolitenessBudget
@@ -73,13 +90,16 @@ def bench_crawl(spark, cpus: int) -> dict:
     stats = eng.run_epoch()
     dt = time.time() - t0
     processed = stats["fetched"] + stats["robots_denied"] + stats["deduped"]
-    return {
+    out = {
         "crawl_epoch_sec": round(dt, 2),
         "crawl_urls": processed,
         "crawl_images": stats["images"],
         "crawl_urls_per_sec": round(processed / dt, 1),
         "crawl_images_per_sec": round(stats["images"] / dt, 1),
     }
+    if stats.get("phase_sec"):
+        out["crawl_phase_sec"] = stats["phase_sec"]
+    return out
 
 
 def main() -> None:
@@ -91,9 +111,16 @@ def main() -> None:
 
     spark = get_spark(cores=cpus, shuffle_partitions=cpus, app="bench")
 
+    # warmup pass: identical plan shapes at tiny SF — JIT/codegen compile,
+    # reader metadata, shuffle service spin-up — so the timed pass measures
+    # the engine, not JVM cold starts
+    if os.path.isdir(WARMUP_SF_DIR):
+        for name, fn in BENCH_QUERIES.items():
+            fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
     times: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        # warm the reader metadata once so times measure compute, not JVM spin-up
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)

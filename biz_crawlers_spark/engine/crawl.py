@@ -39,24 +39,33 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from biz_crawlers_spark.engine.budget import select_per_host_topk
-from biz_crawlers_spark.engine.stage import STAGE_DDL, make_parse_stage, make_stage
+from biz_crawlers_spark.engine.stage import (
+    STAGE_DDL,
+    make_parse_stage,
+    make_robots_stage,
+    make_stage,
+)
 from biz_crawlers_spark.filters.bloom import BloomShards
 from biz_crawlers_spark.filters.cuckoo import CuckooShards
-from biz_crawlers_spark.fixtures.web import FixtureWeb, SeedURL
+from biz_crawlers_spark.fixtures.web import SeedURL
 from biz_crawlers_spark.frontier.seed import (
     FRONTIER_DDL,
     IMAGES_DDL,
     LINEAGE_DDL,
     PAGES_DDL,
+    RECORDS_CORRUPT_EXPR,
     RECORDS_DDL,
     SEEN_DDL,
     seed_df,
 )
 from biz_crawlers_spark.politeness.budget import DEFAULT_BUDGET, PolitenessBudget
-from biz_crawlers_spark.politeness.robots import parse_robots
 from biz_crawlers_spark.tables.snaptable import SnapTable
 
 UNBOUNDED_BUDGET = 10**8  # budgets at/above this skip top-K selection
+
+# P8 robots cache table: rules is the JSON list politeness.robots.parse_robots
+# produces; fetched_epoch drives TTL re-fetch (robots_ttl_epochs)
+ROBOTS_DDL = "host string, rules string, fetched_epoch int"
 
 
 class CrawlEngine:
@@ -76,6 +85,7 @@ class CrawlEngine:
         keep_staging: bool = False,
         ttl_epochs: int | None = None,
         archive_pages: bool = False,
+        robots_ttl_epochs: int | None = None,
     ):
         """``fetch_salting``: 0 (default, strict mode) partitions the fetch
         stage by host only — per-host politeness pacing is globally correct,
@@ -106,21 +116,31 @@ class CrawlEngine:
         # D9/K5: archive raw page bodies in the pages table; frontier rows
         # whose key is archived route to a parse-only stage (no fetch)
         self.archive_pages = archive_pages
+        # P8: robots rules older than this many epochs re-fetch (None = once
+        # per host, ever — the robots SnapTable is the durable cache)
+        self.robots_ttl_epochs = robots_ttl_epochs
         os.makedirs(self.workdir, exist_ok=True)
 
-        def tbl(name: str, ddl: str, keys: list[str]) -> SnapTable:
+        def tbl(name: str, ddl: str, keys: list[str], **extra) -> SnapTable:
             p = os.path.join(self.workdir, name)
             return (
                 SnapTable(spark, p)
                 if SnapTable.exists(p)
-                else SnapTable.create(spark, p, ddl, keys, n_buckets=table_buckets)
+                else SnapTable.create(
+                    spark, p, ddl, keys, n_buckets=table_buckets, **extra
+                )
             )
 
         self.frontier = tbl("frontier", FRONTIER_DDL, ["url_key"])
         self.seen = tbl("seen", SEEN_DDL, ["url_key"])
         self.pages = tbl("pages", PAGES_DDL, ["url_key"])
         self.images = tbl("images", IMAGES_DDL, ["image_id"])
-        self.records = tbl("records", RECORDS_DDL, ["entity_id"])
+        # D7: corrupt is generated at every write; its per-file stats make
+        # the TTL probe free when no corrupt rows exist anywhere
+        self.records = tbl(
+            "records", RECORDS_DDL, ["entity_id"],
+            derived={"corrupt": RECORDS_CORRUPT_EXPR}, stat_cols=["corrupt"],
+        )
         self.lineage = tbl("lineage", LINEAGE_DDL, ["epoch", "partition_id", "host"])
         self.order_log = tbl(
             "order_log",
@@ -128,13 +148,13 @@ class CrawlEngine:
             "attempts int, n_payload int",
             ["url_key"],
         )
+        self.robots = tbl("robots", ROBOTS_DDL, ["host"])
         bp = os.path.join(self.workdir, "bloom")
         self.bloom = (
             BloomShards(bp)
             if os.path.exists(os.path.join(bp, "_meta.json"))
             else BloomShards.create(bp, n_shards=bloom_shards, m_bits=bloom_bits, k=bloom_k)
         )
-        self._robots_cache: dict[str, list[str]] | None = None
         if not os.path.exists(self._state_path()):
             self._record_state(0)
 
@@ -149,7 +169,8 @@ class CrawlEngine:
     # lineage evidence rows (the epoch simply re-runs in full).
 
     TABLE_NAMES = (
-        "frontier", "seen", "pages", "images", "records", "lineage", "order_log"
+        "frontier", "seen", "pages", "images", "records", "lineage", "order_log",
+        "robots",
     )
 
     def _state_path(self) -> str:
@@ -248,29 +269,54 @@ class CrawlEngine:
 
     # ---------- robots ----------
 
-    def _robots_for(self, hosts: list[str]) -> dict[str, list[str]]:
-        """Robots cache (P8): fetched once per host per run, persisted to the
-        workdir; a real deployment would add TTL re-fetch."""
-        path = os.path.join(self.workdir, "robots_cache.json")
-        if self._robots_cache is None:
-            if os.path.exists(path):
-                with open(path) as f:
-                    self._robots_cache = json.load(f)
-            else:
-                self._robots_cache = {}
-        web = FixtureWeb(**self.web_params)
-        missing = [h for h in hosts if h not in self._robots_cache]
-        for h in missing:
-            res = web.fetch(f"https://{h}/robots.txt")
-            body = res["body"] if res["status"] == "ok" else None
-            self._robots_cache[h] = parse_robots(body)
-        if missing:
-            SnapTable._atomic_write(path, json.dumps(self._robots_cache))
-        return self._robots_cache
+    def _resolve_robots(self, batch: DataFrame, epoch: int) -> None:
+        """P8 at crawl scale: robots.txt resolution is a DISTRIBUTED
+        pre-pass. The batch's distinct hosts are anti-joined against the
+        robots SnapTable (TTL-filtered when robots_ttl_epochs is set); the
+        missing hosts fan out to a mapInPandas stage that fetches+parses
+        robots.txt in the workers (engine/stage.py make_robots_stage), and
+        the result MERGEs into the robots table. The driver does O(1) work
+        per epoch — submit one job — regardless of host count (the round-2
+        driver loop was O(hosts) serialized fetches). The robots table is in
+        the epoch's atomic commit group (TABLE_NAMES), so a crash re-fetches
+        cleanly."""
+        known = self.robots.read()
+        if self.robots_ttl_epochs is not None:
+            known = known.filter(
+                F.col("fetched_epoch") > epoch - self.robots_ttl_epochs
+            )
+        missing = (
+            batch.select("host")
+            .dropDuplicates(["host"])
+            .join(known.select("host"), "host", "left_anti")
+        )
+        fetched = missing.repartition(self.fetch_partitions, "host").mapInPandas(
+            make_robots_stage(self.web_params), "host string, rules string"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if fetched.limit(1).count():
+                self.robots.merge(
+                    fetched.withColumn("fetched_epoch", F.lit(epoch)),
+                    summary={"op": "robots", "epoch": epoch},
+                    dedupe=False,  # hosts are distinct by construction
+                )
+        finally:
+            fetched.unpersist()
 
     # ---------- the epoch ----------
 
     def run_epoch(self) -> dict:
+        import time as _time
+
+        phase_sec: dict[str, float] = {}
+        _t0 = _time.monotonic()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = _time.monotonic()
+            phase_sec[name] = round(phase_sec.get(name, 0.0) + (now - _t0), 3)
+            _t0 = now
+
         epoch = self.current_epoch()
         fr = self.frontier.read()
         pending = fr.filter((F.col("state") == "pending") & (F.col("not_before") <= epoch))
@@ -298,34 +344,37 @@ class CrawlEngine:
             # D7 TTL mode: a key is a duplicate only while its LATEST seen
             # epoch is inside the recency window — stale keys re-fetch (the
             # reference's 24 h skip); corrupted records bypass the window
-            # entirely (isRecentlyCrawled's delete-and-recrawl branch)
+            # entirely (isRecentlyCrawled's delete-and-recrawl branch).
+            # Corruption is the GENERATED ``corrupt`` column (recomputed at
+            # every records write) read through manifest-stats pruning: when
+            # no data file can contain a corrupt row — the steady state —
+            # the probe costs zero scans and the join branch is not planned
+            # at all (the round-2 version try_parse_json-scanned the whole
+            # records table every TTL epoch).
             last_seen = seen_df.groupBy("url_key").agg(
                 F.max("seen_epoch").alias("_last_seen")
             )
-            corrupt = (
-                self.records.read()
-                .filter(
-                    F.col("biz_items").isNotNull()
-                    & F.try_parse_json("biz_items").isNull()
+            corrupt_src = self.records.read_stats_pruned("corrupt")
+            j = positives.join(last_seen, "url_key", "left")
+            fresh = F.col("_last_seen").isNotNull() & (
+                F.lit(epoch) - F.col("_last_seen") < F.lit(self.ttl_epochs)
+            )
+            drop_cols = ["_last_seen"]
+            if corrupt_src is not None:
+                corrupt = (
+                    corrupt_src.filter(F.col("corrupt"))
+                    .select("url_key")
+                    .withColumn("_corrupt", F.lit(True))
                 )
-                .select("url_key")
-                .withColumn("_corrupt", F.lit(True))
-            )
-            j = positives.join(last_seen, "url_key", "left").join(
-                corrupt, "url_key", "left"
-            )
-            fresh = (
-                F.col("_last_seen").isNotNull()
-                & (F.lit(epoch) - F.col("_last_seen") < F.lit(self.ttl_epochs))
-                & F.col("_corrupt").isNull()
-            )
-            survivors = j.filter(~fresh).drop("_last_seen", "_corrupt")
-            dup_keys = j.filter(fresh).drop("_last_seen", "_corrupt")
+                j = j.join(corrupt, "url_key", "left")
+                fresh = fresh & F.col("_corrupt").isNull()
+                drop_cols.append("_corrupt")
+            survivors = j.filter(~fresh).drop(*drop_cols)
+            dup_keys = j.filter(fresh).drop(*drop_cols)
         batch = negatives.unionByName(survivors).persist(StorageLevel.MEMORY_AND_DISK)
-        # one job yields BOTH the batch size and the robots host list
-        host_counts = batch.groupBy("host").count().collect()
-        n_batch = int(sum(r["count"] for r in host_counts))
+        n_batch = batch.count()
         n_deduped = n_selected - n_batch
+        _mark("select_dedup")
         # already-seen rows must leave the pending set THIS epoch (not linger
         # to be re-selected and re-deduped every remaining epoch)
         dup_done = dup_keys.select("url_key", F.lit("done").alias("state"))
@@ -350,8 +399,9 @@ class CrawlEngine:
         # state='pending' until the epoch-end commit, so a crash mid-fetch
         # simply re-selects them on restart (commits are atomic snapshots,
         # and the epoch GROUP is atomic via the state record + resume()).
-        hosts = [r["host"] for r in host_counts]
-        robots = self._robots_for(hosts)
+        self._resolve_robots(batch, epoch)
+        rules_df = self.robots.read().select("host", "rules")
+        _mark("robots")
 
         # fetch+extract — strict mode: partitioned BY HOST (global politeness
         # pacing); throughput mode: salted lanes kill the hot-host skew.
@@ -361,7 +411,7 @@ class CrawlEngine:
         # the images MERGE prunes the bytes column away — a row-format cache
         # would deserialize the payload bytes on every scan. The staging dir
         # doubles as the raw-results archive of the epoch (K5 analog).
-        stage = make_stage(self.web_params, self.budget, robots, self.archive_pages)
+        stage = make_stage(self.web_params, self.budget, self.archive_pages)
         if self.fetch_salting > 0:
             # many more salt lanes than partitions: S salts hashed into P
             # partitions need S >> P or balls-in-bins collisions leave some
@@ -392,6 +442,11 @@ class CrawlEngine:
             staged = cached.repartition(self.fetch_partitions, "url_key").mapInPandas(
                 make_parse_stage(), STAGE_DDL
             )
+        # rules ride along as a column (constant per host, parsed once per
+        # host per partition in-stage): a broadcast join for small robots
+        # tables, a host-hash shuffle join at 10^6-host scale — never a
+        # driver-side dict
+        to_fetch = to_fetch.join(rules_df, "host", "left")
         fetched_df = to_fetch.repartition(self.fetch_partitions, *part_cols).mapInPandas(
             stage, STAGE_DDL
         )
@@ -400,6 +455,7 @@ class CrawlEngine:
         staging = os.path.join(self.workdir, "staging", f"epoch={epoch}")
         fetched_df.write.mode("overwrite").parquet(staging)
         fetched = self.spark.read.parquet(staging)
+        _mark("fetch_stage")
 
         statuses = fetched.filter(F.col("row_type") == "status")
         images = fetched.filter(F.col("row_type") == "image")
@@ -438,6 +494,7 @@ class CrawlEngine:
             )
             .collect()
         )
+        _mark("stats_pass")
         totals = {
             k: int(sum(r[k] for r in groups))
             for k in ("fetched", "ok", "failed", "retried", "robots_denied",
@@ -488,11 +545,18 @@ class CrawlEngine:
             )
             self.pages.merge(page_rows, summary={"epoch": epoch}, dedupe=False)
 
+        # seen table, Bloom shards, and cuckoo mirror are INDEPENDENT
+        # structures (distinct directories, all reading immutable staging);
+        # lockstep is guaranteed by the state record, not by sequencing —
+        # so they commit concurrently like every other table (round-2 ran
+        # them as one serial chain inside a single commit thread)
         def _c_seen() -> None:
-            # seen table, Bloom shards, and cuckoo mirror advance as one
-            # sequential chain (they mirror each other)
             self.seen.append(seen_rows, summary={"epoch": epoch})
+
+        def _c_bloom() -> None:
             self.bloom.add_spark(term_ok.select("url_key"), "url_key")
+
+        def _c_cuckoo() -> None:
             cf = self._seen_cuckoo()
             if cf is not None:  # keep the deletable mirror in lockstep (D6)
                 cf.add_spark(term_ok.select("url_key"), "url_key")
@@ -593,12 +657,19 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        commits = [_c_images, _c_records, _c_seen, _c_frontier, _c_order_log,
-                   _c_lineage]
+        commits = [_c_images, _c_records, _c_seen, _c_bloom, _c_cuckoo,
+                   _c_frontier, _c_order_log, _c_lineage]
         if self.archive_pages:
             commits.append(_c_pages)
+        commit_sec: dict[str, float] = {}
+
+        def _timed(c):
+            t0 = _time.monotonic()
+            c()
+            commit_sec[c.__name__.lstrip("_")] = round(_time.monotonic() - t0, 3)
+
         with ThreadPoolExecutor(max_workers=len(commits)) as ex:
-            futures = [ex.submit(c) for c in commits]
+            futures = [ex.submit(_timed, c) for c in commits]
             for f in futures:
                 f.result()  # re-raise: a failed commit aborts the epoch
                 # BEFORE the state record — resume() then rolls back the
@@ -611,6 +682,8 @@ class CrawlEngine:
 
             shutil.rmtree(staging, ignore_errors=True)
         self._record_state(epoch + 1)
+        _mark("commits")
+        phase_sec["commit_breakdown"] = commit_sec
         return {
             "epoch": epoch, "selected": n_selected, "deduped": n_deduped,
             "fetched": totals["fetched"], "ok": totals["ok"],
@@ -618,6 +691,7 @@ class CrawlEngine:
             "not_found": totals["not_found"], "retried": totals["retried"],
             "images": n_images, "discovered": n_discovered,
             "cache_hits": totals["cache_hits"], "drained": False,
+            "phase_sec": phase_sec,
         }
 
     def run(self, max_epochs: int = 100, maintain_every: int = 0) -> list[dict]:

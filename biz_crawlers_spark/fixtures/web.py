@@ -54,13 +54,19 @@ def hosts(n_hosts: int = 4) -> list[str]:
 
 def host_for(name: str, n_hosts: int = 4) -> str:
     """Skewed host assignment: ~80% of URLs land on host 0 (FIXTURES.md §2) —
-    exercises the salted-repartition skew kill."""
+    exercises the salted-repartition skew kill. The remaining 20% spread
+    UNIFORMLY over h1..h{n-1} via an independent hash (the old
+    ``(r-8) % (n-1)`` spread only ever reached h1/h2, so "n-host" seeds
+    really used 3 hosts)."""
     r = spark_xxhash64(name) % 10
     if r < 0:
         r += 10
     if r < 8 or n_hosts == 1:
         return hosts(n_hosts)[0]
-    return hosts(n_hosts)[1 + (r - 8) % (n_hosts - 1)]
+    s = spark_xxhash64(name + "#h") % (n_hosts - 1)
+    if s < 0:
+        s += n_hosts - 1
+    return hosts(n_hosts)[1 + s]
 
 
 @dataclass(frozen=True)

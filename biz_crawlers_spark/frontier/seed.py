@@ -37,10 +37,19 @@ IMAGES_DDL = (
 # normalize), shareholders/managers/capital are JSON-encoded nested lists
 # (query them typed via queries.records_nested / F.from_json), parse_mode
 # records whether the DOM grammar or the X8 regex fallback produced the row.
+# ``corrupt`` is a GENERATED column (SnapTable derived expr, recomputed on
+# every write by any caller) — the D7 corrupted-record invalidation
+# (DetailCrawler.php:1172-1210) reads it via manifest-stats pruning instead
+# of try_parse_json-scanning the table every TTL epoch.
 RECORDS_DDL = (
     "entity_id string, entity_name string, entity_names string, address string, "
     "change_date string, biz_items string, shareholders string, managers string, "
-    "capital string, parse_mode string, category string, url_key long, epoch int"
+    "capital string, parse_mode string, category string, url_key long, epoch int, "
+    "corrupt boolean"
+)
+
+RECORDS_CORRUPT_EXPR = (
+    "biz_items IS NOT NULL AND try_parse_json(biz_items) IS NULL"
 )
 
 LINEAGE_DDL = (
@@ -85,13 +94,13 @@ def synthetic_seed_df(
     yyymm = F.format_string("%05d", (F.lit(start_yyymm) + (F.col("id") / 42)).cast("int"))
     fname = F.concat(yyymm, org, typ, F.lit(".pdf"))
     r = F.pmod(F.xxhash64(fname), F.lit(10))
+    spread = F.pmod(
+        F.xxhash64(F.concat(fname, F.lit("#h"))), F.lit(max(n_hosts - 1, 1))
+    )
     host = F.when(
         (r < 8) | (F.lit(n_hosts) == 1), F.lit("h0.fixture.test")
     ).otherwise(
-        F.format_string(
-            "h%d.fixture.test",
-            (F.lit(1) + F.pmod(r - 8, F.lit(max(n_hosts - 1, 1)))).cast("int"),
-        )
+        F.format_string("h%d.fixture.test", (F.lit(1) + spread).cast("int"))
     )
     blocked = F.pmod(F.xxhash64(fname), F.lit(31)) == 0
     path = F.when(blocked, F.lit("/blocked/report")).otherwise(F.lit("/report"))

@@ -87,7 +87,9 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", grams.alias("grams"))
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T
+) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join
     with a LENGTH FILTER fused into the join condition (J ≥ t requires
     t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so |B| ≥ t·|A| and vice versa —
@@ -108,8 +110,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n_grams") >= F.col("a.n_grams") * JACCARD_T)
-            & (F.col("a.n_grams") >= F.col("b.n_grams") * JACCARD_T),
+            & (F.col("b.n_grams") >= F.col("a.n_grams") * threshold)
+            & (F.col("a.n_grams") >= F.col("b.n_grams") * threshold),
         )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(
@@ -121,12 +123,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
 
 
-def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_prefix(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T
+) -> DataFrame:
     """The same exact join via PPJOIN-style PREFIX FILTERING (Xiao et al.,
     "Efficient Similarity Joins for Near Duplicate Detection", WWW'08;
     Bayardo et al. WWW'07):
@@ -151,7 +155,7 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.explode("grams").alias("g"))
     gram_df = all_posts.groupBy("g").agg(F.count("*").alias("df"))
     n = F.col("n_grams")
-    plen = F.greatest(n - F.ceil(n * F.lit(JACCARD_T)).cast("int") + 1, F.lit(1))
+    plen = F.greatest(n - F.ceil(n * F.lit(threshold)).cast("int") + 1, F.lit(1))
     posts = (
         all_posts.join(gram_df, "g")
         .groupBy("doc_id")
@@ -173,8 +177,8 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: J ≥ t needs t·max ≤ overlap ≤ min
-            & (F.col("b.n_grams") >= F.col("a.n_grams") * JACCARD_T)
-            & (F.col("a.n_grams") >= F.col("b.n_grams") * JACCARD_T),
+            & (F.col("b.n_grams") >= F.col("a.n_grams") * threshold)
+            & (F.col("a.n_grams") >= F.col("b.n_grams") * threshold),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -187,7 +191,7 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ga, "id_a")
         .join(gb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
 

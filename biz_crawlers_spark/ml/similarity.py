@@ -112,9 +112,20 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroids(e: DataFrame, k: int = IVF_CENTROIDS, iters: int = 5, seed: int = 42) -> np.ndarray:
-    """k-means-lite on a driver-side sample (the coarse quantizer training
-    step; at real scale this is a sample anyway)."""
+def _centroids(
+    e: DataFrame,
+    k: int = IVF_CENTROIDS,
+    iters: int = 5,
+    seed: int = 42,
+    distributed_rounds: int = 2,
+) -> np.ndarray:
+    """IVF coarse-quantizer training: Lloyd on a driver-side sample for
+    SEEDING, then ``distributed_rounds`` full-corpus Lloyd rounds (VERDICT r2
+    "Next round" #8 — a 2k sample alone stops tracking the distribution once
+    the corpus drifts from any sample). Each distributed round is one
+    mapInPandas pass emitting per-partition (centroid, partial sum, count)
+    rows — O(partitions × k × dim) tiny rows collected and reduced in numpy
+    driver-side; the corpus itself is never collected."""
     sample = np.array(
         [r["embedding"] for r in e.orderBy("vec_id").limit(2000).collect()], dtype=np.float64
     )
@@ -127,6 +138,39 @@ def _centroids(e: DataFrame, k: int = IVF_CENTROIDS, iters: int = 5, seed: int =
             m = assign == c
             if m.any():
                 cents[c] = sample[m].mean(axis=0)
+
+    dim = cents.shape[1]
+    for _ in range(distributed_rounds):
+        frozen = cents.copy()  # closure captures a few KB of constants
+
+        def partials(it):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            cnt = np.zeros(k, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                # |x-c|² argmin via the -2x·c + |c|² expansion (|x|² constant)
+                d2 = -2.0 * (m @ frozen.T) + (frozen * frozen).sum(axis=1)[None, :]
+                assign = d2.argmin(axis=1)
+                np.add.at(sums, assign, m)
+                np.add.at(cnt, assign, 1)
+            yield pd.DataFrame(
+                {"cid": np.arange(k), "psum": list(sums), "n": cnt}
+            )
+
+        rows = (
+            e.select("embedding")
+            .mapInPandas(partials, "cid int, psum array<double>, n long")
+            .collect()
+        )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["psum"])
+            cnt[r["cid"]] += r["n"]
+        nz = cnt > 0
+        cents[nz] = sums[nz] / cnt[nz, None]  # empty cells keep their seed
     return cents
 
 

@@ -590,3 +590,46 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
+
+
+def x1_report_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — report → 8-digit company-ID extraction (GCISCrawler.php:174-208:
+    pdftotext, then ``preg_match_all('/\\d{8}/')`` + ``array_unique``).
+
+    The sandbox has no PDF decoder (env constraint), so the "report body" is
+    DERIVED DETERMINISTICALLY from the documents table inside the query —
+    the identical expression runs in the DuckDB oracle — stamping each doc's
+    text with two synthetic IDs, a repeat of the first (exercising the
+    unique step), and a 6-digit run (must not match). Match semantics equal
+    preg_match_all: non-overlapping, left-to-right. The reference returns
+    the unique IDs in first-occurrence order; this emits the unique SET
+    sorted by (doc_id, company_id) — a global deterministic order for the
+    oracle compare (order within a doc is not load-bearing downstream: the
+    reference unions the IDs into a seen-set)."""
+    d = _t(spark, sf_dir, "documents")
+    id1 = F.lpad(((F.col("doc_id") * 2654435761) % 100000000).cast("string"), 8, "0")
+    id2 = F.lpad(((F.col("doc_id") * 40503 + 7) % 100000000).cast("string"), 8, "0")
+    body = F.concat_ws(
+        " ", F.col("text"), F.lit("uid"), id1, F.lit("ref"), id2,
+        F.lit("again"), id1, F.lit("no:"), F.lit("123456"),
+    )
+    ids = F.array_distinct(F.regexp_extract_all(body, F.lit(r"\d{8}"), 0))
+    return (
+        d.select("doc_id", F.explode(ids).alias("company_id"))
+        .orderBy("doc_id", "company_id")
+    )
+
+
+X1_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'uid', lpad(CAST((doc_id * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
+                   'ref', lpad(CAST((doc_id * 40503 + 7) % 100000000 AS VARCHAR), 8, '0'),
+                   'again', lpad(CAST((doc_id * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
+                   'no:', '123456') AS body
+  FROM documents
+)
+SELECT doc_id, unnest(list_distinct(regexp_extract_all(body, '\d{8}'))) AS company_id
+FROM b ORDER BY doc_id, company_id
+"""

@@ -74,8 +74,14 @@ def write_entity_json(records: DataFrame, dest: str) -> int:
 
     from biz_crawlers_spark.extract.pages import _sanitize_leaf
 
+    # count via accumulator inside the SAME pass — a separate .count() would
+    # recompute the records plan a second time just to return a number
+    acc = records.sparkSession.sparkContext.accumulator(0)
+
     def _write_rows(rows) -> None:
+        n = 0
         for r in rows:
+            n += 1
             rec = r.asDict()
             doc = entity_doc(rec)
             eid = doc["id"]
@@ -94,9 +100,10 @@ def write_entity_json(records: DataFrame, dest: str) -> int:
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(s)
             os.replace(tmp, os.path.join(sub, f"{eid}.json"))
+        acc.add(n)
 
     records.foreachPartition(_write_rows)
-    return records.count()
+    return acc.value
 
 
 def load_existing(records: DataFrame, wanted: DataFrame, key: str = "entity_id"):

@@ -54,6 +54,15 @@ class SnapTable:
         self.key_cols: list[str] = meta["key_cols"]
         self.n_buckets: int = meta["n_buckets"]
         self.schema_ddl: str = meta["schema_ddl"]
+        # generated columns: name → SQL expr recomputed on EVERY write path
+        # (append/overwrite/merge — including merges that did not supply the
+        # column), so the stored value can never go stale no matter which
+        # caller mutated the table
+        self.derived: dict[str, str] = meta.get("derived", {})
+        # columns whose per-file min/max land in the manifest (the Iceberg
+        # manifest-stats trick) — read_stats_pruned() uses them to skip data
+        # files, or the whole scan, without touching row data
+        self.stat_cols: list[str] = meta.get("stat_cols", [])
 
     # ---------- creation / metadata ----------
 
@@ -64,11 +73,17 @@ class SnapTable:
         schema_ddl: str,
         key_cols: list[str],
         n_buckets: int = 16,
+        derived: dict[str, str] | None = None,
+        stat_cols: list[str] | None = None,
     ) -> "SnapTable":
         path = path.rstrip("/")
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         meta = {"schema_ddl": schema_ddl, "key_cols": key_cols, "n_buckets": n_buckets}
+        if derived:
+            meta["derived"] = derived
+        if stat_cols:
+            meta["stat_cols"] = stat_cols
         SnapTable._atomic_write(os.path.join(path, "_meta.json"), json.dumps(meta))
         SnapTable._atomic_write(os.path.join(path, "_current"), "-1")
         return SnapTable(spark, path)
@@ -140,6 +155,27 @@ class SnapTable:
         sid = self.current_snapshot_id()
         return sid < 0 or not self._load_manifest(sid)["files"]
 
+    def read_stats_pruned(self, col: str, value: bool = True) -> DataFrame | None:
+        """Manifest-stats file pruning for a boolean ``stat_cols`` column:
+        read only the data files whose footer stats say they MAY contain
+        ``value``; return None when every file provably contains none (the
+        common case costs zero scans — the manifest alone answers). Files
+        without recorded stats are conservatively included."""
+        sid = self.current_snapshot_id()
+        if sid < 0:
+            return None
+        cand = []
+        for f in self._load_manifest(sid)["files"]:
+            st = (f.get("stats") or {}).get(col)
+            may = st is None or (st[1] is True if value else st[0] is False)
+            if may:
+                cand.append(f["path"])
+        if not cand:
+            return None
+        return self.spark.read.schema(self.schema_ddl).parquet(
+            *[os.path.join(self.path, p) for p in cand]
+        )
+
     # ---------- write paths ----------
 
     def _write_data_files(
@@ -153,6 +189,8 @@ class SnapTable:
         ``bucketize=False`` skips the bucket shuffle (for append-only tables
         that are never MERGEd — lineage, order logs); such files get bucket
         -1, which every MERGE treats as always-touched."""
+        for name, expr in self.derived.items():
+            df = df.withColumn(name, F.expr(expr))
         dest = os.path.join(self.path, "data", f"s{snapshot_id}")
         if bucketize:
             # write parallelism must not be capped at n_buckets: an
@@ -188,7 +226,35 @@ class SnapTable:
             elif bdir.endswith(".parquet"):
                 rel = os.path.join("data", f"s{snapshot_id}", bdir)
                 entries.append({"path": rel, "bucket": -1})
+        if self.stat_cols:
+            for e in entries:
+                e["stats"] = self._file_stats(os.path.join(self.path, e["path"]))
         return entries
+
+    def _file_stats(self, abs_path: str) -> dict:
+        """Per-file min/max for ``stat_cols`` from the parquet footer —
+        driver-side metadata reads at commit time, O(files), never row data."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        md = pq.ParquetFile(abs_path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in self.stat_cols:
+            i = idx.get(col)
+            if i is None:
+                continue
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mn = s.min if mn is None else min(mn, s.min)
+                mx = s.max if mx is None else max(mx, s.max)
+            if ok and mn is not None:
+                out[col] = [mn, mx]
+        return out
 
     def _commit(
         self, operation: str, files: list[dict], summary: dict | None
@@ -208,12 +274,25 @@ class SnapTable:
         self._atomic_write(os.path.join(self.path, "_current"), str(sid))
         return sid
 
+    def _fill_derived_placeholders(self, df: DataFrame) -> DataFrame:
+        """Callers may omit generated columns entirely — they are recomputed
+        at write time regardless, so placeholder NULLs keep the select valid."""
+        if not self.derived:
+            return df
+        have = set(df.columns)
+        ref = self.spark.createDataFrame([], self.schema_ddl)
+        for f in ref.schema.fields:
+            if f.name in self.derived and f.name not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def append(
         self, df: DataFrame, summary: dict | None = None, bucketize: bool = True
     ) -> int:
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
         sid = parent + 1
+        df = self._fill_derived_placeholders(df)
         new_files = self._write_data_files(df.select(*self._cols()), sid, bucketize)
         return self._commit("append", prev_files + new_files, summary)
 
@@ -221,6 +300,7 @@ class SnapTable:
         self, df: DataFrame, summary: dict | None = None, salt_n: int | None = None
     ) -> int:
         sid = self.current_snapshot_id() + 1
+        df = self._fill_derived_placeholders(df)
         new_files = self._write_data_files(df.select(*self._cols()), sid, salt_n=salt_n)
         return self._commit("overwrite", new_files, summary)
 

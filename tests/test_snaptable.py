@@ -145,3 +145,33 @@ def test_atomic_pointer(tbl, spark, tmp_path):
     cur = os.path.join(str(tmp_path / "t"), "_current")
     with open(cur) as f:
         assert f.read().strip() == "0"
+
+
+def test_derived_column_and_stats_pruning(spark, tmp_path):
+    """Generated columns (recomputed on EVERY write path, even when the
+    writer omits or mis-supplies them) + manifest file stats: the pruned
+    read returns None — zero data files touched — while no file can contain
+    the value, and finds the rows after any writer introduces one."""
+    t = SnapTable.create(
+        spark, str(tmp_path / "gen"),
+        "k long, biz string, corrupt boolean", ["k"], n_buckets=2,
+        derived={"corrupt": "biz IS NOT NULL AND try_parse_json(biz) IS NULL"},
+        stat_cols=["corrupt"],
+    )
+    t.append(spark.createDataFrame([(1, '{"a":1}'), (2, None)], "k long, biz string"))
+    assert t.read_stats_pruned("corrupt") is None  # manifest alone answers
+    assert [r["corrupt"] for r in t.read().orderBy("k").collect()] == [False, False]
+
+    # an external writer merges invalid JSON WITHOUT setting corrupt: the
+    # generated expr recomputes at write, stats expose the file
+    t.merge(spark.createDataFrame([(2, "{bad")], "k long, biz string"))
+    hit = t.read_stats_pruned("corrupt")
+    assert hit is not None
+    assert [r["k"] for r in hit.filter(F.col("corrupt")).collect()] == [2]
+
+    # repairing the row flips it back; the rewritten bucket's stats prune again
+    t.merge(spark.createDataFrame([(2, "[1,2]")], "k long, biz string"))
+    assert t.read_stats_pruned("corrupt") is None
+    # a writer actively LYING about the generated column is overruled
+    t.merge(spark.createDataFrame([(3, "{worse", False)], "k long, biz string, corrupt boolean"))
+    assert t.read_stats_pruned("corrupt").filter("corrupt").count() == 1

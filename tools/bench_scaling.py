@@ -7,19 +7,39 @@ frontier-URLs/s + images/s at both and the scaling efficiency
 
     eff = (throughput@4N / throughput@N) / 4 .
 
-The seed uses 256 hosts so per-host politeness (honored in virtual time)
-does not serialize the fetch stage — scaling measures the engine, which is
-how a real crawl scales (across hosts), not against robots.
+Measurement protocol (VERDICT r2 "Next round" #1 — make the number
+defensible):
+
+- ``--repeats R`` (default 5) runs R pinned pairs, ALTERNATING levels
+  (N, 4N, N, 4N, ...) so slow drift of the box hits both levels equally;
+  the reported efficiency is computed from the per-level MEDIAN throughput,
+  with the per-pair efficiencies and their spread alongside — a single
+  lucky pair is never the headline.
+- every run is taskset-pinned to exactly its core budget (local[N] spawns
+  N JVM task threads PLUS N Python workers; unpinned, the "N" level borrows
+  idle cores and the ratio is not N vs 4N).
+- the crawl workdir lives on tmpfs (/dev/shm) when available: the sandbox
+  has ONE shared local disk, which a real cluster scales with nodes (each
+  executor writes its own local disks / object-store shard), so disk-queue
+  variance is sandbox noise, not engine behavior. Set
+  SPARK_GRAFT_SCALING_TMPFS=0 to measure through the disk instead; both
+  configurations are reported in BENCH/BASELINE.md.
+
+The seed spreads hosts (256 by default, 80% skewed onto one — the skew-kill
+path) and politeness is honored in virtual time, so scaling measures the
+engine, not per-host serialization.
 
 Usage:
-  python tools/bench_scaling.py                 # both levels + BENCH/BASELINE.md update
-  python tools/bench_scaling.py --worker 8 50000  # one level, print JSON
+  python tools/bench_scaling.py                    # 5 pinned pairs + JSON
+  python tools/bench_scaling.py --repeats 3
+  python tools/bench_scaling.py --worker 8 1000000 # one level, print JSON
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -36,43 +56,57 @@ N_HOSTS = 256
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
 )
+USE_TMPFS = os.environ.get("SPARK_GRAFT_SCALING_TMPFS", "1") == "1"
+
+
+def _workdir_base() -> str:
+    if USE_TMPFS and os.path.isdir("/dev/shm"):
+        return "/dev/shm"
+    return tempfile.gettempdir()
 
 
 def worker(cpus: int, n_urls: int) -> None:
+    import shutil
+
     from biz_crawlers_spark.engine.crawl import CrawlEngine
     from biz_crawlers_spark.frontier.seed import synthetic_seed_df
     from biz_crawlers_spark.politeness.budget import PolitenessBudget
     from biz_crawlers_spark.session import get_spark
 
     spark = get_spark(cores=cpus, shuffle_partitions=cpus, app=f"scaling-{cpus}")
-    wd = tempfile.mkdtemp(prefix=f"scaling{cpus}_")
-    eng = CrawlEngine(
-        spark, wd,
-        web_params={
-            "seed": 42, "n_hosts": N_HOSTS, "max_images_per_page": 1,
-            # small images: the scaling criterion measures the ENGINE; big
-            # payloads just measure the sandbox's single local disk, which a
-            # real cluster scales with nodes (see BENCH/BASELINE.md)
-            "image_sizes": (16, 32),
-        },
-        budget=PolitenessBudget(time_scale=0.0),
-        per_host_budget=10**9,
-        bloom_shards=32, bloom_bits=1 << 23, table_buckets=32,
-        fetch_partitions=cpus,
-        fetch_salting=cpus,
-    )
-    seed = synthetic_seed_df(spark, n_urls, n_hosts=N_HOSTS)
-    eng.add_seed_df(seed)
-    t0 = time.time()
-    stats = eng.run_epoch()
-    dt = time.time() - t0
-    processed = stats["fetched"] + stats["robots_denied"] + stats["deduped"]
-    print(json.dumps({
-        "cpus": cpus, "n_urls": n_urls, "epoch_sec": round(dt, 2),
-        "processed": processed, "images": stats["images"],
-        "urls_per_sec": round(processed / dt, 1),
-        "images_per_sec": round(stats["images"] / dt, 1),
-    }))
+    wd = tempfile.mkdtemp(prefix=f"scaling{cpus}_", dir=_workdir_base())
+    try:
+        eng = CrawlEngine(
+            spark, wd,
+            web_params={
+                "seed": 42, "n_hosts": N_HOSTS, "max_images_per_page": 1,
+                # small images: the scaling criterion measures the ENGINE; big
+                # payloads just measure the sandbox's single local disk, which a
+                # real cluster scales with nodes (see BENCH/BASELINE.md)
+                "image_sizes": (16, 32),
+            },
+            budget=PolitenessBudget(time_scale=0.0),
+            per_host_budget=10**9,
+            bloom_shards=32, bloom_bits=1 << 23, table_buckets=32,
+            fetch_partitions=cpus,
+            fetch_salting=cpus,
+        )
+        seed = synthetic_seed_df(spark, n_urls, n_hosts=N_HOSTS)
+        eng.add_seed_df(seed)
+        t0 = time.time()
+        stats = eng.run_epoch()
+        dt = time.time() - t0
+        processed = stats["fetched"] + stats["robots_denied"] + stats["deduped"]
+        print(json.dumps({
+            "cpus": cpus, "n_urls": n_urls, "epoch_sec": round(dt, 2),
+            "processed": processed, "images": stats["images"],
+            "urls_per_sec": round(processed / dt, 1),
+            "images_per_sec": round(stats["images"] / dt, 1),
+            "phase_sec": stats.get("phase_sec"),
+            "tmpfs": wd.startswith("/dev/shm"),
+        }))
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def run_level(cpus: int, n_urls: int) -> dict:
@@ -86,6 +120,7 @@ def run_level(cpus: int, n_urls: int) -> dict:
         cmd,
         capture_output=True, text=True, timeout=3600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ},
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -95,21 +130,40 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
         return
+    repeats = 5
+    if len(sys.argv) > 2 and sys.argv[1] == "--repeats":
+        repeats = int(sys.argv[2])
     lo, hi = LEVELS
-    r8 = run_level(lo, N_URLS)
-    print(f"local[{lo}] :", r8)
-    r32 = run_level(hi, N_URLS)
-    print(f"local[{hi}]:", r32)
     factor = hi / lo
-    eff_urls = (r32["urls_per_sec"] / r8["urls_per_sec"]) / factor
-    eff_imgs = (r32["images_per_sec"] / r8["images_per_sec"]) / factor
-    result = {"N": r8, "4N": r32, "factor": factor,
-              "scaling_efficiency_urls": round(eff_urls, 3),
-              "scaling_efficiency_images": round(eff_imgs, 3)}
+    pairs = []
+    for i in range(repeats):
+        r_lo = run_level(lo, N_URLS)
+        r_hi = run_level(hi, N_URLS)
+        eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / factor
+        pairs.append({"N": r_lo, "4N": r_hi, "eff_urls": round(eff, 3)})
+        print(f"pair {i + 1}/{repeats}: local[{lo}] {r_lo['urls_per_sec']} u/s, "
+              f"local[{hi}] {r_hi['urls_per_sec']} u/s, eff {eff:.3f}",
+              flush=True)
+    lo_meds = statistics.median(p["N"]["urls_per_sec"] for p in pairs)
+    hi_meds = statistics.median(p["4N"]["urls_per_sec"] for p in pairs)
+    lo_img = statistics.median(p["N"]["images_per_sec"] for p in pairs)
+    hi_img = statistics.median(p["4N"]["images_per_sec"] for p in pairs)
+    effs = sorted(p["eff_urls"] for p in pairs)
+    result = {
+        "levels": f"{lo}->{hi}", "factor": factor, "n_urls": N_URLS,
+        "repeats": repeats, "tmpfs": USE_TMPFS and os.path.isdir("/dev/shm"),
+        "median_urls_per_sec": {"N": lo_meds, "4N": hi_meds},
+        "median_images_per_sec": {"N": lo_img, "4N": hi_img},
+        "scaling_efficiency_urls_median": round((hi_meds / lo_meds) / factor, 3),
+        "scaling_efficiency_images_median": round((hi_img / lo_img) / factor, 3),
+        "per_pair_eff_urls": effs,
+        "eff_spread": round((effs[-1] - effs[0]) / 2, 3),
+        "pairs": pairs,
+    }
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
-    # MERGE into the consolidated file: every run is appended under "runs"
-    # (never clobber earlier pairs/configs — the report tables all of them)
+    # MERGE into the consolidated file: every campaign is appended under
+    # "runs" (never clobber earlier pairs/configs — the report tables all)
     path = "BENCH/scaling_result.json"
     doc = {}
     if os.path.exists(path):
@@ -118,9 +172,7 @@ def main() -> None:
                 doc = json.load(f)
         except ValueError:
             doc = {}
-    doc.setdefault("runs", []).append(
-        {"levels": f"{lo}->{hi}", "n_urls": N_URLS, **result}
-    )
+    doc.setdefault("runs", []).append(result)
     doc["latest"] = result
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
