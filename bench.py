@@ -17,12 +17,16 @@ runs at the target SF in a fixed order. Round-2's 15-40% drift on unchanged
 queries came from timing cold code paths in a shared JVM whose heavy new
 queries shifted GC/JIT state.
 
-Dedup lineup (VERDICT r2 "Next round" #3): the PRODUCTION near-dup path at
-t=0.5 is MinHash-LSH (q10). The exact-Jaccard strategies are benched at
-t=0.7 — the high-threshold regime where both are viable at scale — as the
-count-join (q13) NEXT TO the PPJOIN prefix variant (q15), so the documented
-crossover is in the numbers. The exact join at t=0.5 remains an ORACLE
-(correctness twin), not a benchmark headliner.
+Dedup lineup (VERDICT r2 "Next round" #3): the PRODUCTION near-dup path is
+MinHash-LSH (q10). Exact Jaccard is an ORACLE/AUDIT strategy — its
+co-posting stream is ~quadratic in corpus size, so at production scale it
+runs on slices, never the full corpus — and is benched exactly that way:
+the count-join at t=0.7 on the deterministic doc_id%2 half-slice (q13).
+The PPJOIN prefix variant stays oracle-checked but is NOT benched: measured
+at sf0.1 it never beats the count-join on this corpus (t=0.7: 98 s vs
+39.5 s) because the tiny generator vocabulary makes every shingle hot — no
+rare-tail prefixes to prune with (see ml/dedup.py docstring; the round-2
+"crossover at t≥0.7" claim is corrected, not re-asserted).
 
 Each query executes to completion through the noop sink (full computation,
 no driver collect).
@@ -56,11 +60,10 @@ BENCH_QUERIES = {
     "q10_dedup_minhash_lsh": D.dedup_minhash_lsh,  # production fuzzy path, t=0.5
     "q11_ann_bruteforce": S.ann_bruteforce,
     # q12 = crawl epoch (added below)
-    "q13_dedup_jaccard_t07": lambda sp, sf: D.dedup_ngram_jaccard(sp, sf, threshold=0.7),
-    "q14_dedup_simhash": D.dedup_simhash,
-    "q15_dedup_jaccard_prefix_t07": lambda sp, sf: D.dedup_ngram_jaccard_prefix(
-        sp, sf, threshold=0.7
+    "q13_dedup_jaccard_t07_half": lambda sp, sf: D.dedup_ngram_jaccard(
+        sp, sf, threshold=0.7, sample_mod=2
     ),
+    "q14_dedup_simhash": D.dedup_simhash,
     "q16_report_ids": Q.x1_report_ids,
 }
 
@@ -74,18 +77,26 @@ def bench_crawl(spark, cpus: int) -> dict:
     from biz_crawlers_spark.frontier.seed import synthetic_seed_df
     from biz_crawlers_spark.politeness.budget import PolitenessBudget
 
-    wd = tempfile.mkdtemp(prefix="bench_crawl_")
-    eng = CrawlEngine(
-        spark, wd,
-        web_params={"seed": 42, "n_hosts": CRAWL_N_HOSTS, "max_images_per_page": 1},
-        budget=PolitenessBudget(time_scale=0.0),
-        per_host_budget=10**9,
-        bloom_shards=32, bloom_bits=1 << 22, table_buckets=32,
-        fetch_partitions=cpus,
-        fetch_salting=cpus,
-    )
-    seed = synthetic_seed_df(spark, CRAWL_N_URLS, n_hosts=CRAWL_N_HOSTS)
-    eng.add_seed_df(seed)
+    def _engine(n_urls: int) -> "CrawlEngine":
+        wd = tempfile.mkdtemp(prefix="bench_crawl_")
+        eng = CrawlEngine(
+            spark, wd,
+            web_params={"seed": 42, "n_hosts": CRAWL_N_HOSTS, "max_images_per_page": 1},
+            budget=PolitenessBudget(time_scale=0.0),
+            per_host_budget=10**9,
+            bloom_shards=32, bloom_bits=1 << 22, table_buckets=32,
+            fetch_partitions=cpus,
+            fetch_salting=cpus,
+        )
+        eng.add_seed_df(synthetic_seed_df(spark, n_urls, n_hosts=CRAWL_N_HOSTS))
+        return eng
+
+    # untimed warmup epoch in a throwaway workdir: same warmup-isolation
+    # policy as the queries — the timed epoch measures the engine, not
+    # cold JIT of the stage/commit code paths
+    _engine(2000).run_epoch()
+
+    eng = _engine(CRAWL_N_URLS)
     t0 = time.time()
     stats = eng.run_epoch()
     dt = time.time() - t0

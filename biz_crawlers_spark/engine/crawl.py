@@ -618,30 +618,81 @@ class CrawlEngine:
 
         def _c_order_log() -> None:
             # crawl-order evidence: per-host sequence of url_keys. host_seq
-            # is DERIVED from the deterministic order key (window
-            # row_number), not from worker arrival — identical in strict and
-            # salted modes, and equal to the reference's sequential order
-            # per host (SURVEY.md §7)
-            from pyspark.sql import Window
+            # is DERIVED from the deterministic order key, not from worker
+            # arrival — identical in strict and salted modes, and equal to
+            # the reference's sequential order per host (SURVEY.md §7).
+            # Ranking is a two-phase SKEW-FREE computation instead of a
+            # window partitioned by host (which put the 80%-skew host's
+            # rows into ONE sort task): range-partition on (host, order
+            # key) — the hot host spans many partitions — local sort, then
+            # per-(partition, host) counts give each partition its global
+            # offset; a narrow mapInPandas assigns offset + local position.
+            import pandas as pd
 
             order_cols = ["priority", "org_idx", "type_idx", "page", "url_key"]
-            w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
-            ordered = (
-                batch.select("url_key", "host", *order_cols[:-1])
-                .join(
-                    statuses.select("url_key", "status", "attempts", "n_payload"),
-                    "url_key",
+            joined = batch.select("url_key", "host", *order_cols[:-1]).join(
+                statuses.select("url_key", "status", "attempts", "n_payload"),
+                "url_key",
+            )
+            rng = (
+                joined.repartitionByRange(self.fetch_partitions, "host", *order_cols)
+                .sortWithinPartitions("host", *order_cols)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                cnt_rows = (
+                    rng.withColumn("_pid", F.spark_partition_id())
+                    .groupBy("_pid", "host")
+                    .count()
+                    .collect()
+                )  # O(partitions + hosts straddling boundaries) driver rows
+                per_host: dict[str, list] = {}
+                for r in cnt_rows:
+                    per_host.setdefault(r["host"], []).append((r["_pid"], r["count"]))
+                offsets: dict[tuple[int, str], int] = {}
+                for h, lst in per_host.items():
+                    acc = 0
+                    for pid, c in sorted(lst):
+                        offsets[(pid, h)] = acc
+                        acc += c
+                ep = epoch
+
+                def assign(it):
+                    from pyspark import TaskContext
+
+                    pid = TaskContext.get().partitionId()
+                    done_h: dict[str, int] = {}  # rows emitted per host so far
+                    for pdf in it:
+                        base = pdf["host"].map(
+                            lambda h: offsets.get((pid, h), 0) + done_h.get(h, 0)
+                        )
+                        seq = base + pdf.groupby("host").cumcount()
+                        for h, c in pdf["host"].value_counts().items():
+                            done_h[h] = done_h.get(h, 0) + int(c)
+                        yield pd.DataFrame(
+                            {
+                                "url_key": pdf["url_key"],
+                                "host": pdf["host"],
+                                "epoch": ep,
+                                "host_seq": seq.astype("int64"),
+                                "status": pdf["status"],
+                                "attempts": pdf["attempts"],
+                                "n_payload": pdf["n_payload"],
+                            }
+                        )
+
+                ranked = rng.mapInPandas(
+                    assign,
+                    "url_key long, host string, epoch int, host_seq long, "
+                    "status string, attempts int, n_payload int",
                 )
-                .withColumn("host_seq", F.row_number().over(w).cast("long") - 1)
-            )
-            self.order_log.append(
-                ordered.select(
-                    "url_key", "host", F.lit(epoch).alias("epoch"), "host_seq",
-                    "status", "attempts", "n_payload",
-                ),
-                summary={"epoch": epoch},
-                bucketize=False,  # append-only evidence table, never MERGEd
-            )
+                self.order_log.append(
+                    ranked,
+                    summary={"epoch": epoch},
+                    bucketize=False,  # append-only evidence table, never MERGEd
+                )
+            finally:
+                rng.unpersist()
 
         def _c_lineage() -> None:
             lineage_rows = self.spark.createDataFrame(

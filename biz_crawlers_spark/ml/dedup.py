@@ -61,8 +61,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_df(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """doc_id → distinct character n-grams (the exact similarity basis).
+    ``sample_mod``: keep only doc_id % sample_mod == 0 — the deterministic
+    audit-slice mode the bench uses for the exact-join strategies (the
+    co-posting stream scales ~quadratically in corpus size, so exact joins
+    at production scale run on slices/oracles, never the full corpus).
 
     The normalized text is materialized BEHIND A SHUFFLE before the
     per-gram ``transform`` lambda: referencing the norm expression directly
@@ -72,11 +78,10 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed value. Doubles as the parallelism spreader for the small
     single-partition parquet input."""
     par = spark.sparkContext.defaultParallelism
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _norm_text().alias("norm"))
-        .repartition(par, "doc_id")
-    )
+    d = _docs(spark, sf_dir).select("doc_id", _norm_text().alias("norm"))
+    if sample_mod:
+        d = d.filter(F.col("doc_id") % sample_mod == 0)
+    d = d.repartition(par, "doc_id")
     norm = F.col("norm")
     grams = F.array_distinct(
         F.transform(
@@ -88,19 +93,18 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join
     with a LENGTH FILTER fused into the join condition (J ≥ t requires
     t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so |B| ≥ t·|A| and vice versa —
     pairs failing it never enter the pair-count aggregation). Intersection
     counts come from the groupBy over co-postings, which Spark partial-
-    aggregates map-side — measured the fastest exact strategy at t=0.5 on
-    natural text (30.7 s at sf0.1 vs 76 s for the df-ordered prefix variant
-    below: prefixes of length (1−t)·|g| ≈ half the shingles barely prune at
-    this threshold). See dedup_ngram_jaccard_prefix for the high-threshold /
-    hot-shingle-skew regime."""
-    sh = _shingles_df(spark, sf_dir)
+    aggregates map-side — measured the fastest exact strategy on this corpus
+    at EVERY threshold (see dedup_ngram_jaccard_prefix for why the PPJOIN
+    variant cannot prune a uniformly-hot shingle distribution)."""
+    sh = _shingles_df(spark, sf_dir, sample_mod)
     posts = sh.select(
         "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
     )
@@ -144,12 +148,17 @@ def dedup_ngram_jaccard_prefix(
     3. exact verification: join the full gram arrays for candidates only,
        |A∩B| via array_intersect (JVM-side).
 
-    Output is IDENTICAL to dedup_ngram_jaccard (same DuckDB oracle). This is
-    the 10^10-scale / high-threshold strategy: the full co-posting stream is
-    Σ_g df_g² (hot-shingle skew kills it), while prefix postings bound every
-    df by construction. Measured crossover on this corpus: at t=0.5 the
-    fused-length-filter count join wins (weak prefixes); at t ≥ 0.7-0.8 the
-    prefix variant's candidate set collapses and it wins."""
+    Output is IDENTICAL to dedup_ngram_jaccard (same DuckDB oracle). Prefix
+    filtering pays when the shingle document-frequency distribution has a
+    rare tail (Zipfian real-world text): each doc's prefix is its RAREST
+    shingles, so candidate counts collapse at high t. MEASURED on the
+    synthetic bench corpus it never wins (sf0.1, 32 cores: t=0.7 count-join
+    39.5 s vs prefix 98 s; t=0.8 32.8 s vs ~90 s): the tiny generator
+    vocabulary makes every 5-gram hot, so prefixes stay hot and the df
+    ordering is pure overhead — there is no crossover HERE, by corpus
+    construction, not by algorithm. Both remain exact and oracle-checked;
+    at 10^10 docs the production fuzzy path is MinHash-LSH either way, with
+    exact joins reserved for oracle/audit slices."""
     sh = _shingles_df(spark, sf_dir).withColumn("grams", F.array_sort("grams"))
     all_posts = sh.select("doc_id", F.size("grams").alias("n_grams"),
                           F.explode("grams").alias("g"))

@@ -350,6 +350,19 @@ class SnapTable:
             for f in missing:
                 updates = updates.withColumn(f.name, F.lit(None).cast(f.dataType))
         updates = updates.select(*(self._cols() if not delete else self.key_cols))
+
+        if not prev_files:
+            if delete:
+                return self._commit("delete", [], summary)
+            # INSERT-ONLY fast path: merging into an empty table degenerates
+            # to a plain bucketed write — no touched-bucket discovery job, no
+            # full-outer join (which would shuffle the payload bytes a SECOND
+            # time), no persist (the plan is consumed exactly once). This is
+            # the first-epoch shape of every payload table (images/records)
+            # and measurably dominated the epoch commit tail at 10^6 rows.
+            sid = parent + 1
+            new_files = self._write_data_files(updates, sid)
+            return self._commit("merge", new_files, summary)
         from pyspark.storagelevel import StorageLevel
 
         updates = updates.persist(StorageLevel.MEMORY_AND_DISK)

@@ -65,6 +65,9 @@ def _workdir_base() -> str:
     return tempfile.gettempdir()
 
 
+WARMUP_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_WARMUP_URLS", "100000"))
+
+
 def worker(cpus: int, n_urls: int) -> None:
     import shutil
 
@@ -74,9 +77,9 @@ def worker(cpus: int, n_urls: int) -> None:
     from biz_crawlers_spark.session import get_spark
 
     spark = get_spark(cores=cpus, shuffle_partitions=cpus, app=f"scaling-{cpus}")
-    wd = tempfile.mkdtemp(prefix=f"scaling{cpus}_", dir=_workdir_base())
-    try:
-        eng = CrawlEngine(
+
+    def _engine(wd: str) -> "CrawlEngine":
+        return CrawlEngine(
             spark, wd,
             web_params={
                 "seed": 42, "n_hosts": N_HOSTS, "max_images_per_page": 1,
@@ -91,8 +94,22 @@ def worker(cpus: int, n_urls: int) -> None:
             fetch_partitions=cpus,
             fetch_salting=cpus,
         )
-        seed = synthetic_seed_df(spark, n_urls, n_hosts=N_HOSTS)
-        eng.add_seed_df(seed)
+
+    wd_warm = tempfile.mkdtemp(prefix=f"scalwarm{cpus}_", dir=_workdir_base())
+    wd = tempfile.mkdtemp(prefix=f"scaling{cpus}_", dir=_workdir_base())
+    try:
+        # untimed warmup epoch in a throwaway workdir: JIT/codegen, Arrow
+        # serializers, Python worker pool, allocator — the SAME
+        # warmup-isolation policy as bench.py. Without it the first timed
+        # epoch of a fresh JVM ran up to ~40% slow and dominated
+        # run-to-run variance (round-2's 122→95→90 s warming pattern).
+        warm = _engine(wd_warm)
+        warm.add_seed_df(synthetic_seed_df(spark, WARMUP_URLS, n_hosts=N_HOSTS))
+        warm.run_epoch()
+        shutil.rmtree(wd_warm, ignore_errors=True)
+
+        eng = _engine(wd)
+        eng.add_seed_df(synthetic_seed_df(spark, n_urls, n_hosts=N_HOSTS))
         t0 = time.time()
         stats = eng.run_epoch()
         dt = time.time() - t0
@@ -102,11 +119,13 @@ def worker(cpus: int, n_urls: int) -> None:
             "processed": processed, "images": stats["images"],
             "urls_per_sec": round(processed / dt, 1),
             "images_per_sec": round(stats["images"] / dt, 1),
+            "warmup_urls": WARMUP_URLS,
             "phase_sec": stats.get("phase_sec"),
             "tmpfs": wd.startswith("/dev/shm"),
         }))
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+        shutil.rmtree(wd_warm, ignore_errors=True)
 
 
 def run_level(cpus: int, n_urls: int) -> dict:
