@@ -28,6 +28,8 @@ AUDIT = {
     "token_stats": TX.token_stats,
     "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
     "dedup_exact": D.dedup_exact,
+    "x1_report_ids": Q.x1_report_ids,
+    "dedup_minhash_lsh": D.dedup_minhash_lsh,
 }
 
 
