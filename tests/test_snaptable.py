@@ -175,3 +175,22 @@ def test_derived_column_and_stats_pruning(spark, tmp_path):
     # a writer actively LYING about the generated column is overruled
     t.merge(spark.createDataFrame([(3, "{worse", False)], "k long, biz string, corrupt boolean"))
     assert t.read_stats_pruned("corrupt").filter("corrupt").count() == 1
+
+
+def test_insert_only_merge_fast_path_and_empty_delete(spark, tmp_path):
+    """MERGE into an empty table is a plain bucketed write (insert-only fast
+    path); a delete against an empty table commits an empty snapshot; the
+    fast-path snapshot behaves identically to a joined merge downstream."""
+    t = SnapTable.create(spark, str(tmp_path / "fp"), DDL, ["id"], n_buckets=4)
+    assert t.merge(
+        spark.createDataFrame([("a", None)], "id string, name string"),
+        delete=True,
+    ) == 0  # empty delete: snapshot advances, nothing to scan
+    t2 = SnapTable.create(spark, str(tmp_path / "fp2"), DDL, ["id"], n_buckets=4)
+    t2.merge(spark.createDataFrame([("a", "x", "ad", 1), ("b", "y", "bd", 2)], DDL))
+    assert _rows(t2.read()) == [("a", "x", "ad", 1), ("b", "y", "bd", 2)]
+    # second merge hits the joined path and overlays onto fast-path rows
+    t2.merge(spark.createDataFrame([("a", "x2"), ("c", "z")], "id string, name string"))
+    assert _rows(t2.read()) == [
+        ("a", "x2", "ad", 1), ("b", "y", "bd", 2), ("c", "z", None, None)
+    ]

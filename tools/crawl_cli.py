@@ -14,8 +14,9 @@ politeness instead of virtual time), --max-epochs, --archive-pages (D9),
 --ttl-epochs (D7), --maintain-every (vacuum cadence).
 
 The fetcher here is the deterministic fixture web (the sandbox has no
-network); a production deployment swaps web_params for a real HTTP client
-behind the same fetch(url, attempt, method, payload) signature.
+network); a production deployment passes web_params={"transport": ...} for
+any registered Transport (engine/transport.py — the seam a real HTTP client
+implements; see DictTransport for the swap-in proof).
 """
 
 from __future__ import annotations
