@@ -663,11 +663,17 @@ class CrawlEngine:
                     pid = TaskContext.get().partitionId()
                     done_h: dict[str, int] = {}  # rows emitted per host so far
                     for pdf in it:
-                        base = pdf["host"].map(
-                            lambda h: offsets.get((pid, h), 0) + done_h.get(h, 0)
-                        )
-                        seq = base + pdf.groupby("host").cumcount()
-                        for h, c in pdf["host"].value_counts().items():
+                        counts = pdf["host"].value_counts()
+                        # dict-backed Series.map (C hash lookups), built per
+                        # batch over the few distinct hosts — no per-row lambda
+                        base_by_host = {
+                            h: offsets.get((pid, h), 0) + done_h.get(h, 0)
+                            for h in counts.index
+                        }
+                        seq = pdf["host"].map(base_by_host) + pdf.groupby(
+                            "host"
+                        ).cumcount()
+                        for h, c in counts.items():
                             done_h[h] = done_h.get(h, 0) + int(c)
                         yield pd.DataFrame(
                             {
