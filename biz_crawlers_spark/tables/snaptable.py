@@ -105,6 +105,62 @@ class SnapTable:
         with open(os.path.join(self.path, "_meta.json")) as f:
             return json.load(f)
 
+    def ensure_meta(
+        self,
+        schema_ddl: str,
+        derived: dict[str, str] | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> bool:
+        """Open-time metadata migration for tables created by an OLDER
+        engine version (ADVICE r3: a records table from a pre-``corrupt``
+        workdir reopened with ttl_epochs set would raise on the stats probe,
+        or worse, silently skip the corruption branch).
+
+        New columns may only be ADDED (append-compatible evolution — the
+        Iceberg add-column rule): existing data files simply lack the column
+        and read as NULL under the new explicit schema. Derived columns are
+        healed lazily: reads recompute them on the fly when stored NULL
+        (see read()/read_stats_pruned()), and the next physical rewrite of a
+        file stores the computed value. Returns True when a migration was
+        written. Raises if the stored schema is not a prefix of the new one
+        (a true incompatibility should fail loudly, not corrupt silently).
+        """
+        derived = derived or {}
+        stat_cols = stat_cols or []
+        if (
+            schema_ddl == self.schema_ddl
+            and derived == self.derived
+            and stat_cols == self.stat_cols
+        ):
+            return False
+        old_fields = [c.strip() for c in self.schema_ddl.split(",")]
+        new_fields = [c.strip() for c in schema_ddl.split(",")]
+        if new_fields[: len(old_fields)] != old_fields:
+            raise ValueError(
+                f"incompatible schema evolution for {self.path}: stored "
+                f"{self.schema_ddl!r} is not a prefix of {schema_ddl!r}"
+            )
+        meta = self._read_meta()
+        meta["schema_ddl"] = schema_ddl
+        meta["derived"] = derived
+        meta["stat_cols"] = stat_cols
+        for k in ("derived", "stat_cols"):
+            if not meta[k]:
+                del meta[k]
+        self._atomic_write(os.path.join(self.path, "_meta.json"), json.dumps(meta))
+        self.schema_ddl = schema_ddl
+        self.derived = derived
+        self.stat_cols = stat_cols
+        return True
+
+    def _heal_derived(self, df: DataFrame) -> DataFrame:
+        """Recompute derived columns on the fly where the stored value is
+        NULL — the read-side half of ensure_meta's lazy healing (legacy data
+        files predate the column; new writes always store it)."""
+        for name, expr in self.derived.items():
+            df = df.withColumn(name, F.coalesce(F.col(name), F.expr(expr)))
+        return df
+
     # ---------- snapshots ----------
 
     def current_snapshot_id(self) -> int:
@@ -147,8 +203,10 @@ class SnapTable:
         files = [f["path"] for f in self._load_manifest(sid)["files"]]
         if not files:
             return self.spark.createDataFrame([], self.schema_ddl)
-        return self.spark.read.schema(self.schema_ddl).parquet(
-            *[os.path.join(self.path, p) for p in files]
+        return self._heal_derived(
+            self.spark.read.schema(self.schema_ddl).parquet(
+                *[os.path.join(self.path, p) for p in files]
+            )
         )
 
     def is_empty(self) -> bool:
@@ -172,8 +230,10 @@ class SnapTable:
                 cand.append(f["path"])
         if not cand:
             return None
-        return self.spark.read.schema(self.schema_ddl).parquet(
-            *[os.path.join(self.path, p) for p in cand]
+        return self._heal_derived(
+            self.spark.read.schema(self.schema_ddl).parquet(
+                *[os.path.join(self.path, p) for p in cand]
+            )
         )
 
     # ---------- write paths ----------
@@ -316,6 +376,7 @@ class SnapTable:
         delete: bool = False,
         prefer: str = "new",
         dedupe: bool = True,
+        touched_hint: str | None = None,
     ) -> int:
         """Upsert ``updates`` by key (or delete their keys if ``delete``).
 
@@ -333,10 +394,24 @@ class SnapTable:
         full-outer join and permanently violate the table's key invariant —
         e.g. the same image bytes extracted from two pages in one epoch);
         callers that pre-deduplicate pass ``dedupe=False`` to skip the
-        shuffle. The updates plan is PERSISTED for the duration of the merge:
-        it is consumed twice (touched-bucket discovery, then the join+write),
-        and re-evaluating a plan that scans the epoch's staging output twice
-        measurably dominated the commit path.
+        shuffle. NOTE: with ``dedupe=False`` the caller MUST guarantee
+        key-distinct updates on EVERY path — the insert-only fast path (and
+        the ``touched_hint="all"`` path) writes the batch directly, so
+        duplicate keys land as duplicate rows instead of fanning out through
+        the join; "distinct by construction" has to hold for the data, not
+        just the usual caller. The updates plan is PERSISTED for the
+        duration of the merge: it is consumed twice (touched-bucket
+        discovery, then the join+write), and re-evaluating a plan that scans
+        the epoch's staging output twice measurably dominated the commit
+        path.
+
+        ``touched_hint="all"`` declares that every bucket is (statistically
+        certainly) touched by this update batch — e.g. the batch carries
+        ≥ 32·n_buckets uniformly-hashed keys. The merge then skips BOTH the
+        touched-bucket discovery job and the updates persist (the plan is
+        consumed exactly once by the join+write). Safe regardless of the
+        data: a bucket declared touched that holds no update keys is merely
+        rewritten unchanged.
         """
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
@@ -365,15 +440,21 @@ class SnapTable:
             return self._commit("merge", new_files, summary)
         from pyspark.storagelevel import StorageLevel
 
-        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        assume_all = touched_hint == "all"
+        if not assume_all:
+            updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            upd = updates.withColumn("_bucket", self._bucket_expr())
-            touched = sorted(
-                r["_bucket"] for r in upd.select("_bucket").distinct().collect()
-            )
-            touched_set = set(touched) | {-1}  # unbucketed files are always touched
-            keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
-            hit_files = [f for f in prev_files if f["bucket"] in touched_set]
+            if assume_all:
+                keep_files: list[dict] = []
+                hit_files = prev_files
+            else:
+                upd = updates.withColumn("_bucket", self._bucket_expr())
+                touched = sorted(
+                    r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+                )
+                touched_set = set(touched) | {-1}  # unbucketed files always touched
+                keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
+                hit_files = [f for f in prev_files if f["bucket"] in touched_set]
 
             if hit_files:
                 old = self.spark.read.schema(self.schema_ddl).parquet(
@@ -408,7 +489,8 @@ class SnapTable:
             new_files = self._write_data_files(merged, sid)
             return self._commit(op, keep_files + new_files, summary)
         finally:
-            updates.unpersist()
+            if not assume_all:
+                updates.unpersist()
 
     # ---------- maintenance ----------
 

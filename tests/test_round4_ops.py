@@ -1,0 +1,154 @@
+"""Round-4 operator upgrades (VERDICT r3 "Next round" + ADVICE r3):
+
+- steady-state robots fast path: an epoch where every host is already in the
+  robots cache plans ZERO robots jobs (asserted via the Spark status
+  tracker's job-group accounting — all robots work is tagged "robots")
+- SnapTable.ensure_meta: a workdir created by a pre-``corrupt`` engine
+  version migrates on open; the D7 corruption probe works on legacy data
+  files via on-the-fly derived-column healing (ADVICE r3 medium)
+- merge touched_hint="all": skips the discovery job, result identical
+- adaptive order-log ranking: the small-batch window path and the two-phase
+  path produce bit-identical order logs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from biz_crawlers_spark.engine.crawl import CrawlEngine
+from biz_crawlers_spark.frontier.seed import (
+    RECORDS_CORRUPT_EXPR,
+    RECORDS_DDL,
+    synthetic_seed_df,
+)
+from biz_crawlers_spark.politeness.budget import PolitenessBudget
+from biz_crawlers_spark.tables.snaptable import SnapTable
+
+LEGACY_RECORDS_DDL = RECORDS_DDL.rsplit(", corrupt boolean", 1)[0]
+
+
+def _engine(spark, wd, **kw):
+    kw.setdefault("per_host_budget", 10_000)
+    return CrawlEngine(
+        spark, str(wd), web_params={"seed": 42, "n_hosts": 8, "max_images_per_page": 1},
+        budget=PolitenessBudget(time_scale=0), bloom_shards=4,
+        bloom_bits=1 << 16, table_buckets=4, fetch_partitions=4, **kw,
+    )
+
+
+def _robots_job_count(spark) -> int:
+    tracker = spark.sparkContext.statusTracker()
+    return len(tracker.getJobIdsForGroup("robots"))
+
+
+def test_steady_state_robots_plans_zero_jobs(spark, tmp_path):
+    """Epoch 0 contacts new hosts (robots jobs submitted, tagged "robots");
+    epoch 1 re-uses the cache for the SAME hosts — the status tracker must
+    show no new job in the robots group, and no robots snapshot commits."""
+    eng = _engine(spark, tmp_path / "rsteady", per_host_budget=300)
+    eng.add_seed_df(synthetic_seed_df(spark, 3000, n_hosts=8))
+    st0 = eng.run_epoch()
+    assert st0["fetched"] > 0
+    jobs_after_e0 = _robots_job_count(spark)
+    assert jobs_after_e0 > 0, "epoch 0 must have submitted tagged robots jobs"
+    sid0 = eng.robots.current_snapshot_id()
+
+    st1 = eng.run_epoch()  # h0 remainder: same hosts, all cached
+    assert st1["fetched"] > 0
+    assert _robots_job_count(spark) == jobs_after_e0, (
+        "a steady-state epoch must plan ZERO robots jobs"
+    )
+    assert eng.robots.current_snapshot_id() == sid0
+
+
+def test_ensure_meta_migrates_legacy_records_workdir(spark, tmp_path):
+    """A records table written WITHOUT the generated ``corrupt`` column
+    (round-2-era workdir) reopened through CrawlEngine: meta migrates, the
+    stats probe plans instead of raising, and the legacy corrupt row is
+    found via on-the-fly healing (ADVICE r3 medium)."""
+    wd = tmp_path / "legacy"
+    os.makedirs(wd, exist_ok=True)
+    legacy = SnapTable.create(
+        spark, str(wd / "records"), LEGACY_RECORDS_DDL, ["entity_id"], n_buckets=4
+    )
+    rows = [
+        ("00000001", "好公司", "[\"好公司\"]", "addr", None, "[]", "[]", "[]",
+         "[]", "dom", "est", 11, 0),
+        ("00000002", "壞公司", "[\"壞公司\"]", "addr", None, "{not json", "[]",
+         "[]", "[]", "dom", "est", 22, 0),
+    ]
+    legacy.append(spark.createDataFrame(rows, LEGACY_RECORDS_DDL))
+
+    eng = _engine(spark, wd, ttl_epochs=2)
+    # meta migrated in place
+    meta = json.load(open(wd / "records" / "_meta.json"))
+    assert meta["schema_ddl"] == RECORDS_DDL
+    assert meta["derived"] == {"corrupt": RECORDS_CORRUPT_EXPR}
+    assert meta["stat_cols"] == ["corrupt"]
+    # the probe expression the D7 branch runs — previously AnalysisException
+    probed = eng.records.read_stats_pruned("corrupt")
+    assert probed is not None, "legacy files lack stats => conservatively read"
+    bad = probed.filter(F.col("corrupt")).select("entity_id").collect()
+    assert [r["entity_id"] for r in bad] == ["00000002"]
+    # read() heals too: corrupt is never NULL on a migrated table
+    assert eng.records.read().filter(F.col("corrupt").isNull()).count() == 0
+    # a crawl epoch on the migrated workdir runs end-to-end
+    eng.add_seed_df(synthetic_seed_df(spark, 60, n_hosts=8))
+    st = eng.run_epoch()
+    assert st["fetched"] > 0
+    # the physical rewrite stored the healed values: files now carry stats
+    m = eng.records._load_manifest(eng.records.current_snapshot_id())
+    assert any("stats" in f and "corrupt" in f["stats"] for f in m["files"])
+
+
+def test_ensure_meta_rejects_incompatible_schema(spark, tmp_path):
+    t = SnapTable.create(spark, str(tmp_path / "bad"), "a string, b int", ["a"])
+    import pytest
+
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        t.ensure_meta("a string, c string, b int")
+    # pure additions are fine
+    assert t.ensure_meta("a string, b int, c string") is True
+    assert t.ensure_meta("a string, b int, c string") is False  # idempotent
+
+
+def test_merge_touched_hint_all_is_equivalent(spark, tmp_path):
+    ddl = "id string, v long"
+    t1 = SnapTable.create(spark, str(tmp_path / "h1"), ddl, ["id"], n_buckets=4)
+    t2 = SnapTable.create(spark, str(tmp_path / "h2"), ddl, ["id"], n_buckets=4)
+    base = spark.createDataFrame([(f"{i:08d}", i) for i in range(50)], ddl)
+    upd = spark.createDataFrame(
+        [(f"{i:08d}", 1000 + i) for i in range(25, 75)], ddl
+    )
+    for t in (t1, t2):
+        t.append(base)
+    t1.merge(upd)
+    t2.merge(upd, touched_hint="all")
+    rows1 = sorted((r["id"], r["v"]) for r in t1.read().collect())
+    rows2 = sorted((r["id"], r["v"]) for r in t2.read().collect())
+    assert rows1 == rows2
+    assert len(rows2) == 75
+    # the hint path never kept a stale file: every current file was rewritten
+    sid = t2.current_snapshot_id()
+    m = t2._load_manifest(sid)
+    assert all(f["path"].startswith(f"data/s{sid}/") for f in m["files"])
+
+
+def test_order_log_ranking_paths_identical(spark, tmp_path):
+    """ranking_window_rows=0 forces the two-phase path; the default uses the
+    window path at this batch size. Order logs must be bit-identical (the
+    rank is defined by the sort key, not by placement)."""
+    logs = {}
+    for name, kw in (("win", {}), ("twophase", {"ranking_window_rows": 0})):
+        eng = _engine(spark, tmp_path / f"rank_{name}", **kw)
+        eng.add_seed_df(synthetic_seed_df(spark, 400, n_hosts=8))
+        eng.run_epoch()
+        logs[name] = sorted(
+            (r["host"], r["host_seq"], r["url_key"], r["status"])
+            for r in eng.order_log.read().collect()
+        )
+    assert logs["win"] == logs["twophase"]
+    assert len(logs["win"]) > 0
