@@ -62,6 +62,77 @@ class DictTransport:
         return {"status": status, "body": body}
 
 
+class HTTPTransport:
+    """A real HTTP client on the seam — the slot-in for the reference's
+    Goutte/cURL stack (BaseCrawler.php:79-150, DetailCrawler.php:34-103).
+
+    One request per ``fetch`` call; ALL retry/backoff/politeness logic stays
+    in the engine (the transport's ``attempt`` arg is accepted and ignored —
+    a real server derives retry state from its own traffic, which is exactly
+    what the loopback fixture server does). Bodies are returned as raw bytes
+    (binary downloads, S2 — never text-decoded here).
+
+    ``base_addr`` ("127.0.0.1:8043") reroutes every request to that loopback
+    address over plain http, carrying the ORIGINAL host in the Host /
+    X-Forwarded-Host headers — the standard reverse-proxy shape, and what
+    lets the offline parity suite exercise this transport against a local
+    ``http.server`` serving the fixture web. ``base_addr=None`` requests the
+    URL as-is (the production path).
+
+    Status mapping (transport-level; the engine re-classifies from the body
+    via extract.pages.classify_page, so sentinel pages served with 200 still
+    classify correctly):  2xx → ok · 404/410 → not_found · 429/503 →
+    throttled · other codes and transport errors (DNS, refused, timeout) →
+    error (the engine's retry path, mirroring BaseCrawler.php:100-106's
+    catch-sleep-retry).
+    """
+
+    RETRYABLE = {429: "throttled", 503: "throttled", 404: "not_found", 410: "not_found"}
+
+    def __init__(self, base_addr: str | None = None, timeout: float = 10.0):
+        self.base_addr = base_addr
+        self.timeout = timeout
+
+    def _target(self, url: str) -> tuple[str, dict]:
+        from urllib.parse import urlsplit
+
+        if self.base_addr is None:
+            return url, {}
+        u = urlsplit(url)
+        q = f"?{u.query}" if u.query else ""
+        host = (u.hostname or "").lower()
+        return (
+            f"http://{self.base_addr}{u.path}{q}",
+            {"Host": host, "X-Forwarded-Host": host},
+        )
+
+    def fetch(
+        self, url: str, attempt: int = 0, method: str = "GET",
+        payload: str | None = None,
+    ) -> dict:
+        import urllib.error
+        import urllib.request
+
+        target, headers = self._target(url)
+        data = None
+        if payload is not None:
+            data = payload.encode("utf-8")
+            headers["Content-Type"] = "application/x-www-form-urlencoded"
+        req = urllib.request.Request(target, data=data, headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return {"status": "ok", "body": resp.read()}
+        except urllib.error.HTTPError as err:
+            body = b""
+            try:
+                body = err.read()
+            except Exception:
+                pass
+            return {"status": self.RETRYABLE.get(err.code, "error"), "body": body}
+        except (urllib.error.URLError, TimeoutError, OSError):
+            return {"status": "error", "body": b""}
+
+
 def make_transport(params: dict | None):
     """Build a transport from a picklable params dict (see module docstring)."""
     p = dict(params or {})
@@ -72,6 +143,8 @@ def make_transport(params: dict | None):
         return FixtureWeb(**p)
     if kind == "dict":
         return DictTransport(**p)
+    if kind == "http":
+        return HTTPTransport(**p)
     raise ValueError(f"unknown transport {kind!r}")
 
 
