@@ -137,6 +137,29 @@ def test_merge_touched_hint_all_is_equivalent(spark, tmp_path):
     assert all(f["path"].startswith(f"data/s{sid}/") for f in m["files"])
 
 
+def test_prefix_filter_exact_on_zipfian_corpus(spark, tmp_path):
+    """VERDICT r3 #8: the PPJOIN prefix variant is equality-pinned on a
+    RARE-TAIL (Zipfian) corpus — the distribution where prefix filtering
+    actually prunes (the sf oracle corpus has a hot tiny vocabulary, so the
+    existing oracle equality there never exercises rare-prefix pruning).
+    The timing crossover is recorded in BENCH/prefix_zipf.json (prefix wins
+    from ~4k docs at t=0.7); this test pins result identity at test scale."""
+    from biz_crawlers_spark.ml import dedup as D
+    from tools.bench_prefix_zipf import write_zipf_corpus
+
+    sf = write_zipf_corpus(spark, 300, str(tmp_path / "zipf"))
+    cj = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.dedup_ngram_jaccard(spark, sf, threshold=0.7).collect()
+    }
+    px = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.dedup_ngram_jaccard_prefix(spark, sf, threshold=0.7).collect()
+    }
+    assert cj == px
+    assert len(cj) >= 20, "the dup fraction must produce real pairs"
+
+
 def test_order_log_ranking_paths_identical(spark, tmp_path):
     """ranking_window_rows=0 forces the two-phase path; the default uses the
     window path at this batch size. Order logs must be bit-identical (the
