@@ -104,13 +104,23 @@ def bench_crawl(spark, cpus: int) -> dict:
         # cold JIT of the stage/commit code paths
         _engine(2000).run_epoch()
 
-        eng = _engine(CRAWL_N_URLS)
-        t0 = time.time()
-        stats = eng.run_epoch()
-        dt = time.time() - t0
+        # median of 3 in-process repeats (VERDICT r4 "What's wrong" #1): the
+        # same code measured 11.22 s on the builder's run and 14.32 s on the
+        # driver's — host ambient, not engine. A single sample makes the
+        # headline hostage to the harness; the median (with the range
+        # reported alongside) is robust to one slow repeat.
+        runs = []
+        for i in range(3):
+            eng = _engine(CRAWL_N_URLS)
+            t0 = time.time()
+            stats = eng.run_epoch()
+            runs.append((time.time() - t0, stats))
+        runs.sort(key=lambda r: r[0])
+        dt, stats = runs[1]  # median
         processed = stats["fetched"] + stats["robots_denied"] + stats["deduped"]
         out = {
             "crawl_epoch_sec": round(dt, 2),
+            "crawl_epoch_sec_runs": sorted(round(r[0], 2) for r in runs),
             "crawl_urls": processed,
             "crawl_images": stats["images"],
             "crawl_urls_per_sec": round(processed / dt, 1),

@@ -44,15 +44,21 @@ from biz_crawlers_spark.engine.transport import make_transport
 from biz_crawlers_spark.politeness.budget import PolitenessBudget
 from biz_crawlers_spark.politeness.robots import is_allowed, parse_robots
 
+# ``seq``/``epoch``/``corrupt`` carry the IMAGES/RECORDS table column names
+# and values directly: the staging write is partitioned by row_type, so the
+# image/record payload files are, byte-for-byte, valid table data files —
+# the epoch commit ADOPTS them by rename (SnapTable.adopt_files) instead of
+# reading + re-shuffling + re-writing the payload (bytes are written
+# exactly ONCE per epoch).
 STAGE_DDL = (
     "row_type string, url_key long, canonical_url string, host string, status string, "
     "attempts int, host_seq long, partition_id int, scheduled_at double, "
-    "image_seq int, image_id string, bytes binary, w int, h int, fmt string, "
+    "seq int, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, entity_id string, entity_name string, "
     "entity_names string, address string, change_date string, biz_items string, "
     "shareholders string, managers string, capital string, parse_mode string, "
     "category string, discovered_url string, priority int, parent_key long, "
-    "n_payload int"
+    "n_payload int, epoch int, corrupt boolean"
 )
 
 _STAGE_COLS = [c.split(":")[0].strip().split(" ")[0] for c in STAGE_DDL.split(", ")]
@@ -64,8 +70,8 @@ TERMINAL_OK = ("ok", "not_found")
 
 _INT_COLS = {
     "url_key": "Int64", "phash": "Int64", "host_seq": "Int64", "attempts": "Int32",
-    "partition_id": "Int32", "image_seq": "Int32", "w": "Int32", "h": "Int32",
-    "priority": "Int32", "n_payload": "Int32",
+    "partition_id": "Int32", "seq": "Int32", "w": "Int32", "h": "Int32",
+    "priority": "Int32", "n_payload": "Int32", "epoch": "Int32",
 }
 
 
@@ -78,6 +84,7 @@ def _to_frame(rows: list[dict]) -> pd.DataFrame:
     for c, t in _INT_COLS.items():
         pdf[c] = pdf[c].astype(t)
     pdf["scheduled_at"] = pdf["scheduled_at"].astype("float64")
+    pdf["corrupt"] = pdf["corrupt"].astype("boolean")
     return pdf
 
 
@@ -99,7 +106,7 @@ def _decode_figures(body: bytes, url_key: int, host: str) -> list[dict]:
                 row_type="image",
                 url_key=url_key,
                 host=host,
-                image_seq=fig["seq"],
+                seq=fig["seq"],
                 image_id=hashlib.sha256(fig["bytes"]).hexdigest()[:16],
                 bytes=fig["bytes"],
                 w=int(pixels.shape[1]),
@@ -110,6 +117,21 @@ def _decode_figures(body: bytes, url_key: int, host: str) -> list[dict]:
             )
         )
     return rows
+
+
+def _record_corrupt(biz_items) -> bool:
+    """Python twin of frontier.seed.RECORDS_CORRUPT_EXPR
+    (``biz_items IS NOT NULL AND try_parse_json(biz_items) IS NULL``) so
+    adopted staging files carry the D7 generated column pre-computed (the
+    merge fallback recomputes it via the SQL expr; equivalence is pinned by
+    the adopt-vs-merge identity test)."""
+    if biz_items is None:
+        return False
+    try:
+        json.loads(biz_items)
+        return False
+    except ValueError:
+        return True
 
 
 def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
@@ -125,7 +147,9 @@ def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
         if "category:" in text:
             cat = text.split("category:", 1)[1].split("<", 1)[0]
         out.append(_blank_row(row_type="record", url_key=url_key, host=host,
-                              category=cat, **rec))
+                              category=cat,
+                              corrupt=_record_corrupt(rec.get("biz_items")),
+                              **rec))
     for cat, tax_id, name in parse_school_rows(body):
         out.append(
             _blank_row(
@@ -136,6 +160,7 @@ def _extract_record(body: bytes, url_key: int, host: str) -> list[dict]:
                 entity_name=name,
                 entity_names=json.dumps([name], ensure_ascii=False),
                 category=cat,
+                corrupt=False,
                 biz_items="[]",
                 shareholders="[]",
                 managers="[]",
@@ -209,7 +234,7 @@ def _fetch_with_retries(web, url: str, budget: PolitenessBudget, t: float, wait_
     return status, body, attempts, t
 
 
-def make_parse_stage():
+def make_parse_stage(epoch: int = 0):
     """Parse-only stage for the D9 raw-cache routing join
     (DetailCrawler.php:105-123 "regenerate from raw HTML without re-fetch"):
     rows arrive with the ARCHIVED page body; no fetch, no politeness clock —
@@ -238,6 +263,7 @@ def make_parse_stage():
                 out.extend(payload)
             for r in out:
                 r["partition_id"] = pid
+                r["epoch"] = epoch
             yield _to_frame(out)
 
     return parse_stage
@@ -273,6 +299,7 @@ def make_stage(
     web_params: dict,
     budget: PolitenessBudget,
     archive_pages: bool = False,
+    epoch: int = 0,
 ):
     """Build the mapInPandas function. Robots rules arrive as a per-row
     ``rules`` JSON column (joined from the robots SnapTable by the driver —
@@ -398,6 +425,7 @@ def make_stage(
                 host_clock[host] = t
             for r in out:  # stamp provenance: every row (incl. payload rows)
                 r["partition_id"] = pid
+                r["epoch"] = epoch
             yield _to_frame(out)
 
     return stage

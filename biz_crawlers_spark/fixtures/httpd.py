@@ -35,7 +35,15 @@ _HTTP_CODE = {"ok": 200, "not_found": 404, "throttled": 429, "junk": 200, "error
 
 class FixtureHTTPServer:
     """Context manager: ``with FixtureHTTPServer(params) as srv:`` →
-    ``srv.addr`` is the ``base_addr`` for HTTPTransport web_params."""
+    ``srv.addr`` is the ``base_addr`` for HTTPTransport web_params.
+
+    SCOPE (ADVICE r4 #3): the per-URL hit counter models a rate limiter
+    within ONE crawl epoch. A URL legitimately re-fetched in a later epoch
+    (TTL re-crawl, reseed) would be served with an inflated ``attempt`` and
+    diverge from the in-process FixtureWeb, which always receives the
+    engine's per-fetch attempt=0. Multi-epoch tests over this server MUST
+    call :meth:`reset_hits` between epochs; the schedule-parity suite runs
+    a single epoch by design."""
 
     def __init__(self, web_params: dict | None = None):
         self.web = FixtureWeb(**(web_params or {}))

@@ -81,13 +81,19 @@ def seed_df(spark: SparkSession, seeds: list[SeedURL], epoch: int = 0) -> DataFr
 
 
 def synthetic_seed_df(
-    spark: SparkSession, n: int, n_hosts: int = 64, start_yyymm: int = 10001
+    spark: SparkSession, n: int, n_hosts: int = 64, start_yyymm: int = 10001,
+    start_id: int = 0,
 ) -> DataFrame:
     """Large-scale seed generation entirely in Spark expressions (no driver
     loop, no Python UDF) — used by the bench to build 10^5–10^7-row
     frontiers. Grammar matches fixtures.web company reports; hosts use the
-    same skewed-assignment formula as fixtures.web.host_for."""
-    base = spark.range(n)
+    same skewed-assignment formula as fixtures.web.host_for.
+
+    ``start_id`` offsets the id range: (yyymm, org, typ) is injective in id,
+    so disjoint id ranges yield disjoint URL sets — how the sustained
+    multi-epoch campaign seeds FRESH URLs every epoch without driver-side
+    generation."""
+    base = spark.range(start_id, start_id + n)
     org = F.format_string("O%02d", (F.col("id") % 14).cast("int"))
     typ = F.element_at(F.array(F.lit("est"), F.lit("chg"), F.lit("dis")),
                        ((F.col("id") / 14) % 3).cast("int") + 1)

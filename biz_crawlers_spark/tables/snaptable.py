@@ -63,6 +63,14 @@ class SnapTable:
         # manifest-stats trick) — read_stats_pruned() uses them to skip data
         # files, or the whole scan, without touching row data
         self.stat_cols: list[str] = meta.get("stat_cols", [])
+        # optional second file-partitioning dimension: a low-cardinality
+        # state column (e.g. the frontier's ``state``). Files land under
+        # _bucket=K/_part=V and record their part in the manifest; merges
+        # whose matched keys are guaranteed to live in a known subset of
+        # part values (``source_parts``) rewrite only those files — the
+        # frontier's done-history is never copy-on-write-rewritten again
+        # (VERDICT r4 "Next round" #7)
+        self.part_col: str | None = meta.get("part_col")
 
     # ---------- creation / metadata ----------
 
@@ -75,6 +83,7 @@ class SnapTable:
         n_buckets: int = 16,
         derived: dict[str, str] | None = None,
         stat_cols: list[str] | None = None,
+        part_col: str | None = None,
     ) -> "SnapTable":
         path = path.rstrip("/")
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
@@ -84,6 +93,8 @@ class SnapTable:
             meta["derived"] = derived
         if stat_cols:
             meta["stat_cols"] = stat_cols
+        if part_col:
+            meta["part_col"] = part_col
         SnapTable._atomic_write(os.path.join(path, "_meta.json"), json.dumps(meta))
         SnapTable._atomic_write(os.path.join(path, "_current"), "-1")
         return SnapTable(spark, path)
@@ -110,6 +121,7 @@ class SnapTable:
         schema_ddl: str,
         derived: dict[str, str] | None = None,
         stat_cols: list[str] | None = None,
+        part_col: str | None = None,
     ) -> bool:
         """Open-time metadata migration for tables created by an OLDER
         engine version (ADVICE r3: a records table from a pre-``corrupt``
@@ -122,19 +134,52 @@ class SnapTable:
         healed lazily: reads recompute them on the fly when stored NULL
         (see read()/read_stats_pruned()), and the next physical rewrite of a
         file stores the computed value. Returns True when a migration was
-        written. Raises if the stored schema is not a prefix of the new one
-        (a true incompatibility should fail loudly, not corrupt silently).
+        written.
+
+        Fails loudly on any DOWNGRADE (ADVICE r4 #1): the stored schema must
+        be a field-prefix of the new one (compared as PARSED schemas, not
+        comma-split strings — ADVICE r4 #2: ``decimal(10,2)`` /
+        ``map<string,string>`` contain commas), every stored derived/stat
+        column must survive with the same definition, and an existing
+        ``part_col`` may never be changed or removed — a call that would
+        silently strip config is treated exactly like an incompatible
+        schema, because the stripped feature (e.g. D7's ``corrupt`` probe)
+        would otherwise just stop working.
         """
+        from pyspark.sql.types import StructType
+
         derived = derived or {}
         stat_cols = stat_cols or []
+        # config downgrades: removing or redefining existing derived
+        # entries / stat_cols / part_col is a hard error, never a silent strip
+        for name, expr in self.derived.items():
+            if derived.get(name) != expr:
+                raise ValueError(
+                    f"config downgrade for {self.path}: derived column "
+                    f"{name!r} ({expr!r}) would be "
+                    + ("removed" if name not in derived else f"redefined as {derived[name]!r}")
+                )
+        for name in self.stat_cols:
+            if name not in stat_cols:
+                raise ValueError(
+                    f"config downgrade for {self.path}: stat_col {name!r} "
+                    "would be removed"
+                )
+        if self.part_col is not None and part_col != self.part_col:
+            raise ValueError(
+                f"config downgrade for {self.path}: part_col "
+                f"{self.part_col!r} would become {part_col!r}"
+            )
+        part_col = part_col or self.part_col
         if (
             schema_ddl == self.schema_ddl
             and derived == self.derived
             and stat_cols == self.stat_cols
+            and part_col == self.part_col
         ):
             return False
-        old_fields = [c.strip() for c in self.schema_ddl.split(",")]
-        new_fields = [c.strip() for c in schema_ddl.split(",")]
+        old_fields = StructType.fromDDL(self.schema_ddl).fields
+        new_fields = StructType.fromDDL(schema_ddl).fields
         if new_fields[: len(old_fields)] != old_fields:
             raise ValueError(
                 f"incompatible schema evolution for {self.path}: stored "
@@ -144,13 +189,15 @@ class SnapTable:
         meta["schema_ddl"] = schema_ddl
         meta["derived"] = derived
         meta["stat_cols"] = stat_cols
-        for k in ("derived", "stat_cols"):
+        meta["part_col"] = part_col
+        for k in ("derived", "stat_cols", "part_col"):
             if not meta[k]:
                 del meta[k]
         self._atomic_write(os.path.join(self.path, "_meta.json"), json.dumps(meta))
         self.schema_ddl = schema_ddl
         self.derived = derived
         self.stat_cols = stat_cols
+        self.part_col = part_col
         return True
 
     def _heal_derived(self, df: DataFrame) -> DataFrame:
@@ -244,15 +291,32 @@ class SnapTable:
         snapshot_id: int,
         bucketize: bool = True,
         salt_n: int | None = None,
+        direct: bool = False,
     ) -> list[dict]:
         """Write df bucketed by key; return manifest file entries.
         ``bucketize=False`` skips the bucket shuffle (for append-only tables
         that are never MERGEd — lineage, order logs); such files get bucket
-        -1, which every MERGE treats as always-touched."""
+        -1, which every MERGE treats as always-touched.
+
+        ``direct=True`` keeps proper bucket directories but SKIPS the
+        repartition: each input partition writes straight into the bucket
+        dirs it has rows for (partitionBy handles the fan-out). For payload
+        tables whose insert path already paid a shuffle upstream (the
+        images commit's key dedup), this avoids shuffling the binary
+        payload a second time just to co-locate writers; the cost is more,
+        smaller files per bucket — bounded by tasks × buckets and folded
+        back by compact()/vacuum()."""
         for name, expr in self.derived.items():
             df = df.withColumn(name, F.expr(expr))
         dest = os.path.join(self.path, "data", f"s{snapshot_id}")
-        if bucketize:
+        if bucketize and direct:
+            df = df.withColumn("_bucket", self._bucket_expr())
+            part_by = ["_bucket"]
+            if self.part_col:
+                df = df.withColumn("_part", F.col(self.part_col).cast("string"))
+                part_by.append("_part")
+            df.write.partitionBy(*part_by).mode("overwrite").parquet(dest)
+        elif bucketize:
             # write parallelism must not be capped at n_buckets: an
             # INDEPENDENT salt (different hash seed than the bucket expr —
             # same-modulus salts would be fully determined by the bucket)
@@ -266,26 +330,35 @@ class SnapTable:
                 F.xxhash64(F.col(self.key_cols[0]).cast("string"), F.lit("_w")),
                 F.lit(salt_n),
             )
+            df = df.withColumn("_bucket", self._bucket_expr())
+            part_by = ["_bucket"]
+            repart = [F.col("_bucket"), salt]
+            if self.part_col:
+                df = df.withColumn("_part", F.col(self.part_col).cast("string"))
+                part_by.append("_part")
+                repart = [F.col("_bucket"), F.col("_part"), salt]
             (
-                df.withColumn("_bucket", self._bucket_expr())
-                .repartition(max(par, self.n_buckets), F.col("_bucket"), salt)
-                .write.partitionBy("_bucket")
+                df.repartition(max(par, self.n_buckets), *repart)
+                .write.partitionBy(*part_by)
                 .mode("overwrite")
                 .parquet(dest)
             )
         else:
             df.write.mode("overwrite").parquet(dest)
         entries = []
-        for bdir in sorted(os.listdir(dest)):
-            if bdir.startswith("_bucket="):
-                bucket = int(bdir.split("=", 1)[1])
-                for fn in sorted(os.listdir(os.path.join(dest, bdir))):
-                    if fn.endswith(".parquet"):
-                        rel = os.path.join("data", f"s{snapshot_id}", bdir, fn)
-                        entries.append({"path": rel, "bucket": bucket})
-            elif bdir.endswith(".parquet"):
-                rel = os.path.join("data", f"s{snapshot_id}", bdir)
-                entries.append({"path": rel, "bucket": -1})
+        for root, _dirs, fnames in os.walk(dest):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, fn), self.path)
+                e = {"path": rel, "bucket": -1}
+                for comp in os.path.relpath(root, dest).split(os.sep):
+                    if comp.startswith("_bucket="):
+                        e["bucket"] = int(comp.split("=", 1)[1])
+                    elif comp.startswith("_part="):
+                        e["part"] = comp.split("=", 1)[1]
+                entries.append(e)
+        entries.sort(key=lambda e: e["path"])
         if self.stat_cols:
             for e in entries:
                 e["stats"] = self._file_stats(os.path.join(self.path, e["path"]))
@@ -377,6 +450,10 @@ class SnapTable:
         prefer: str = "new",
         dedupe: bool = True,
         touched_hint: str | None = None,
+        source_parts: list[str] | None = None,
+        mostly_new: bool = False,
+        insert_direct: bool = False,
+        strategy: str = "join",
     ) -> int:
         """Upsert ``updates`` by key (or delete their keys if ``delete``).
 
@@ -412,6 +489,44 @@ class SnapTable:
         consumed exactly once by the join+write). Safe regardless of the
         data: a bucket declared touched that holds no update keys is merely
         rewritten unchanged.
+
+        ``source_parts`` (requires ``part_col``) is a CALLER CONTRACT that
+        every MATCHED update key currently lives in a file whose part value
+        is in the list (e.g. the frontier's epoch-end transitions only ever
+        match rows stored as ``state='pending'``). Files in other parts are
+        carried over without a rewrite — the frontier's accumulated done
+        history stops being copy-on-write-rewritten every epoch. Files with
+        no recorded part (legacy / NULL part values) are conservatively
+        treated as matchable. A WRONG contract duplicates keys (the matched
+        row survives in its old file AND lands in a new one) — use only
+        where the source-part invariant is structural.
+
+        ``strategy="cogroup"`` executes the overlay as a BUCKET-cogrouped
+        pandas pass instead of a full-outer join: both sides shuffle ONCE,
+        on the table's own bucket expression, each task overlays exactly one
+        bucket (``combine_first`` = the same per-column coalesce), and the
+        output — already partitioned by bucket — is written DIRECTLY,
+        skipping the writer repartition. Net: the old rows move through one
+        exchange instead of two, and file layout comes out one file per
+        (bucket, part). Parallelism is capped at n_buckets (size buckets ≥
+        cores for big tables). Caveat (pandas Arrow conversion): 64-bit
+        integer columns that can be NULL on either side would transit as
+        float64 and lose low bits — valid only for tables whose long
+        columns are non-null (keys are; the frontier qualifies — its only
+        long is url_key). Output is bit-identical to the join strategy
+        (test-pinned).
+
+        ``mostly_new=True`` (insert-heavy tables: images/records at crawl
+        steady state, where almost every key is brand new) replaces the
+        bucket-granularity pessimism with a MATCHED-KEY discovery pass: a
+        narrow key-column scan of the existing table (column-pruned parquet)
+        semi-joined with the update keys finds the buckets that contain
+        genuinely matched keys. Buckets with none — at steady state, all of
+        them — take a pure APPEND (no join, no rewrite, cost O(batch)
+        regardless of table size); only buckets with real matches pay the
+        overlay rewrite. Without this, uniformly-hashed new keys touch every
+        bucket and the merge rewrites the WHOLE table every epoch — O(table)
+        per epoch, the exact growth the sustained-crawl campaign measures.
         """
         parent = self.current_snapshot_id()
         prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
@@ -436,61 +551,217 @@ class SnapTable:
             # the first-epoch shape of every payload table (images/records)
             # and measurably dominated the epoch commit tail at 10^6 rows.
             sid = parent + 1
-            new_files = self._write_data_files(updates, sid)
+            new_files = self._write_data_files(updates, sid, direct=insert_direct)
             return self._commit("merge", new_files, summary)
         from pyspark.storagelevel import StorageLevel
+
+        def _part_ok(f: dict) -> bool:
+            # may this file contain a matched key, per the caller contract?
+            if source_parts is None:
+                return True
+            p = f.get("part")
+            return p is None or p == "__HIVE_DEFAULT_PARTITION__" or p in source_parts
+
+        def _read_files(files: list[dict]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], self.schema_ddl)
+            return self.spark.read.schema(self.schema_ddl).parquet(
+                *[os.path.join(self.path, f["path"]) for f in files]
+            )
+
+        def _overlay(old: DataFrame, upd: DataFrame) -> DataFrame:
+            non_key = [c for c in self._cols() if c not in self.key_cols]
+            o = old.alias("o")
+            u = upd.alias("u")
+            first, second = ("u", "o") if prefer == "new" else ("o", "u")
+            return o.join(u, on=self.key_cols, how="full_outer").select(
+                *[
+                    F.coalesce(F.col(f"o.{k}"), F.col(f"u.{k}")).alias(k)
+                    for k in self.key_cols
+                ],
+                *[
+                    F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c)
+                    for c in non_key
+                ],
+            )
+
+        sid = parent + 1
+
+        if mostly_new and not delete:
+            updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                src_files = [f for f in prev_files if _part_ok(f)]
+                old_keys = _read_files(src_files).select(*self.key_cols)
+                matched_buckets = {
+                    r["_b"]
+                    for r in updates.select(*self.key_cols)
+                    .join(old_keys, on=self.key_cols, how="left_semi")
+                    .select(self._bucket_expr().alias("_b"))
+                    .distinct()
+                    .collect()
+                }
+                if matched_buckets and any(f["bucket"] == -1 for f in src_files):
+                    matched_buckets.add(-1)
+                if not matched_buckets:
+                    # steady state: nothing matched anywhere — pure append
+                    new_files = self._write_data_files(
+                        updates, sid, direct=insert_direct
+                    )
+                    return self._commit("merge", prev_files + new_files, summary)
+                hit_paths = {
+                    f["path"]
+                    for f in src_files
+                    if f["bucket"] in matched_buckets
+                }
+                hit_files = [f for f in prev_files if f["path"] in hit_paths]
+                keep_files = [f for f in prev_files if f["path"] not in hit_paths]
+                ub = updates.withColumn("_ub", self._bucket_expr())
+                upd_in = ub.filter(
+                    F.col("_ub").isin(*sorted(matched_buckets))
+                ).drop("_ub")
+                upd_out = ub.filter(
+                    ~F.col("_ub").isin(*sorted(matched_buckets))
+                ).drop("_ub")
+                merged = _overlay(_read_files(hit_files), upd_in).unionByName(
+                    upd_out.select(*self._cols())
+                )
+                new_files = self._write_data_files(merged, sid)
+                return self._commit("merge", keep_files + new_files, summary)
+            finally:
+                updates.unpersist()
 
         assume_all = touched_hint == "all"
         if not assume_all:
             updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if assume_all:
-                keep_files: list[dict] = []
-                hit_files = prev_files
+                keep_files = [f for f in prev_files if not _part_ok(f)]
+                hit_files = [f for f in prev_files if _part_ok(f)]
             else:
                 upd = updates.withColumn("_bucket", self._bucket_expr())
                 touched = sorted(
                     r["_bucket"] for r in upd.select("_bucket").distinct().collect()
                 )
                 touched_set = set(touched) | {-1}  # unbucketed files always touched
-                keep_files = [f for f in prev_files if f["bucket"] not in touched_set]
-                hit_files = [f for f in prev_files if f["bucket"] in touched_set]
+                keep_files = [
+                    f
+                    for f in prev_files
+                    if f["bucket"] not in touched_set or not _part_ok(f)
+                ]
+                hit_files = [
+                    f
+                    for f in prev_files
+                    if f["bucket"] in touched_set and _part_ok(f)
+                ]
 
-            if hit_files:
-                old = self.spark.read.schema(self.schema_ddl).parquet(
-                    *[os.path.join(self.path, f["path"]) for f in hit_files]
-                )
-            else:
-                old = self.spark.createDataFrame([], self.schema_ddl)
+            old = _read_files(hit_files)
 
             if delete:
                 merged = old.join(
                     updates.select(*self.key_cols), on=self.key_cols, how="left_anti"
                 )
                 op = "delete"
+            elif strategy == "cogroup":
+                merged = self._cogroup_overlay(old, updates, prefer)
+                new_files = self._write_data_files(merged, sid, direct=True)
+                return self._commit("merge", keep_files + new_files, summary)
             else:
-                non_key = [c for c in self._cols() if c not in self.key_cols]
-                o = old.alias("o")
-                u = updates.alias("u")
-                first, second = ("u", "o") if prefer == "new" else ("o", "u")
-                merged = o.join(u, on=self.key_cols, how="full_outer").select(
-                    *[
-                        F.coalesce(F.col(f"o.{k}"), F.col(f"u.{k}")).alias(k)
-                        for k in self.key_cols
-                    ],
-                    *[
-                        F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c)
-                        for c in non_key
-                    ],
-                )
+                merged = _overlay(old, updates)
                 op = "merge"
 
-            sid = parent + 1
             new_files = self._write_data_files(merged, sid)
             return self._commit(op, keep_files + new_files, summary)
         finally:
             if not assume_all:
                 updates.unpersist()
+
+    def adopt_files(self, src_paths: list[str], summary: dict | None = None) -> int:
+        """ZERO-COPY append: RENAME parquet files that some upstream stage
+        already wrote (the crawl epoch's staging output, partitioned by
+        row_type) into the table as a new snapshot — the payload bytes are
+        written exactly ONCE per epoch; the commit is O(files) driver-side
+        metadata work plus the renames.
+
+        Caller contract (the engine verifies both with narrow key-column
+        jobs before calling): (1) the files' schema contains every table
+        column by name with compatible types — extra columns are pruned by
+        the explicit-schema read, missing ones read as NULL (derived
+        columns heal on read); (2) the rows' keys are distinct within the
+        batch AND absent from the current table (adopt is append-only —
+        a matched key would duplicate; the engine falls back to merge()).
+
+        Adopted files carry bucket -1 (their rows are not key-bucketed):
+        any later merge that finds genuinely matched keys treats them as
+        always-touched, and compact() folds them into proper buckets."""
+        import shutil as _sh
+
+        parent = self.current_snapshot_id()
+        prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
+        sid = parent + 1
+        dest = os.path.join(self.path, "data", f"s{sid}")
+        os.makedirs(dest, exist_ok=True)
+        entries = []
+        for i, src in enumerate(sorted(src_paths)):
+            rel = os.path.join("data", f"s{sid}", f"adopt-{i:05d}.parquet")
+            dst = os.path.join(self.path, rel)
+            try:
+                os.replace(src, dst)
+            except OSError:
+                _sh.move(src, dst)
+            e = {"path": rel, "bucket": -1}
+            if self.stat_cols:
+                e["stats"] = self._file_stats(dst)
+            entries.append(e)
+        return self._commit("merge", prev_files + entries, summary)
+
+    def _cogroup_overlay(
+        self, old: DataFrame, updates: DataFrame, prefer: str
+    ) -> DataFrame:
+        """Bucket-cogrouped pandas overlay (merge ``strategy="cogroup"``).
+
+        Each side is grouped by the table's OWN bucket expression — one
+        exchange per side, aligned — and one pandas task overlays one
+        bucket: ``combine_first`` keyed on the key columns is exactly the
+        per-column "first non-null of (winner, loser)" the join strategy
+        computes. The output stays partitioned by bucket, so the caller
+        writes it with ``direct=True`` (no writer repartition).
+
+        Integer columns are returned as pandas NULLABLE Int dtypes so Arrow
+        conversion never routes an int column through float64 (the
+        r1-finding truncation hazard for 64-bit hashes)."""
+        from pyspark.sql.types import IntegerType, LongType, StructType
+
+        key_cols = list(self.key_cols)
+        cols = self._cols()
+        int_casts = {}
+        for f in StructType.fromDDL(self.schema_ddl).fields:
+            if isinstance(f.dataType, LongType):
+                int_casts[f.name] = "Int64"
+            elif isinstance(f.dataType, IntegerType):
+                int_casts[f.name] = "Int32"
+        first_new = prefer == "new"
+
+        def ov(_key, old_pdf, upd_pdf):
+            if len(old_pdf) == 0:
+                out = upd_pdf[cols]
+            elif len(upd_pdf) == 0:
+                out = old_pdf[cols]
+            else:
+                o = old_pdf.set_index(key_cols)
+                u = upd_pdf.set_index(key_cols)
+                merged = u.combine_first(o) if first_new else o.combine_first(u)
+                out = merged.reset_index()[cols]
+            out = out.copy()
+            for c, t in int_casts.items():
+                out[c] = out[c].astype(t)
+            return out
+
+        b = self._bucket_expr()
+        return (
+            old.groupBy(b.alias("_cb"))
+            .cogroup(updates.groupBy(b.alias("_cb")))
+            .applyInPandas(ov, schema=self.schema_ddl)
+        )
 
     # ---------- maintenance ----------
 

@@ -161,11 +161,21 @@ def test_prefix_filter_exact_on_zipfian_corpus(spark, tmp_path):
 
 
 def test_order_log_ranking_paths_identical(spark, tmp_path):
-    """ranking_window_rows=0 forces the two-phase path; the default uses the
-    window path at this batch size. Order logs must be bit-identical (the
-    rank is defined by the sort key, not by placement)."""
+    """All THREE ranking paths must be bit-identical (the rank is defined by
+    the sort key, not by placement): the round-5 staged fast path (default,
+    archive_pages=False — host_seq composed from the stage's own sequence +
+    stats-pass offsets), the window path (archive mode, small batch), and
+    the two-phase range path (archive mode, ranking_window_rows=0). A fresh
+    archive-mode epoch has no cached pages, so its order log covers the
+    same rows as the staged path."""
     logs = {}
-    for name, kw in (("win", {}), ("twophase", {"ranking_window_rows": 0})):
+    variants = (
+        ("staged", {}),
+        ("staged_salted", {"fetch_salting": 4}),  # range lanes, real offsets
+        ("win", {"archive_pages": True}),
+        ("twophase", {"archive_pages": True, "ranking_window_rows": 0}),
+    )
+    for name, kw in variants:
         eng = _engine(spark, tmp_path / f"rank_{name}", **kw)
         eng.add_seed_df(synthetic_seed_df(spark, 400, n_hosts=8))
         eng.run_epoch()
@@ -173,5 +183,5 @@ def test_order_log_ranking_paths_identical(spark, tmp_path):
             (r["host"], r["host_seq"], r["url_key"], r["status"])
             for r in eng.order_log.read().collect()
         )
-    assert logs["win"] == logs["twophase"]
-    assert len(logs["win"]) > 0
+    assert logs["staged"] == logs["win"] == logs["twophase"] == logs["staged_salted"]
+    assert len(logs["staged"]) > 0

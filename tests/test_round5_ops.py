@@ -1,0 +1,382 @@
+"""Round-5 upgrades (VERDICT r4 "Next round" + ADVICE r4):
+
+- SnapTable ``part_col``/``source_parts``: the frontier's done history is
+  never rewritten by epoch-end merges (flat c_frontier over a campaign)
+- SnapTable ``mostly_new``: insert-heavy merges (images/records at steady
+  state) take a pure-append path — O(batch), not O(table) — and still
+  overlay genuinely matched keys correctly
+- ensure_meta config-downgrade guard (ADVICE r4 #1) + parsed-schema prefix
+  comparison robust to comma-bearing types (ADVICE r4 #2)
+- Bloom saturation policy (VERDICT r4 #4): fill tracking in version
+  metadata, automatic re-size/rebuild past the threshold, prefilter
+  hit-rate restored, engine-wired and rollback-safe
+- sustained-epoch invariants: multi-epoch crawl into one workdir keeps
+  order-log ranks dense per (host, epoch) and frontier keys unique
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biz_crawlers_spark.engine.crawl import CrawlEngine
+from biz_crawlers_spark.filters.bloom import BloomShards
+from biz_crawlers_spark.frontier.seed import synthetic_seed_df
+from biz_crawlers_spark.politeness.budget import PolitenessBudget
+from biz_crawlers_spark.tables.snaptable import SnapTable
+
+
+def _engine(spark, wd, **kw):
+    kw.setdefault("per_host_budget", 10_000)
+    kw.setdefault("bloom_shards", 4)
+    kw.setdefault("bloom_bits", 1 << 16)
+    return CrawlEngine(
+        spark, str(wd), web_params={"seed": 42, "n_hosts": 8, "max_images_per_page": 1},
+        budget=PolitenessBudget(time_scale=0), table_buckets=4,
+        fetch_partitions=4, **kw,
+    )
+
+
+# ---------- part_col / source_parts ----------
+
+
+def _mk_state_table(spark, path):
+    t = SnapTable.create(
+        spark, str(path), "k long, state string, v int", ["k"],
+        n_buckets=4, part_col="state",
+    )
+    rows = [(i, "pending", 1) for i in range(100)]
+    t.overwrite(spark.createDataFrame(rows, "k long, state string, v int"))
+    return t
+
+
+def test_part_col_files_carry_part_values(spark, tmp_path):
+    t = _mk_state_table(spark, tmp_path / "pc")
+    files = t._load_manifest(t.current_snapshot_id())["files"]
+    assert files and all(f.get("part") == "pending" for f in files)
+    assert all("_part=pending" in f["path"] for f in files)
+    assert t.read().count() == 100
+
+
+def test_source_parts_merge_never_rewrites_done_files(spark, tmp_path):
+    t = _mk_state_table(spark, tmp_path / "sp")
+    # transition 0..49 → done (matched keys all pending: the contract)
+    upd = spark.createDataFrame(
+        [(i, "done", 2) for i in range(50)], "k long, state string, v int"
+    )
+    t.merge(upd, dedupe=False, source_parts=["pending"])
+    m1 = t._load_manifest(t.current_snapshot_id())["files"]
+    done_files_1 = sorted(f["path"] for f in m1 if f.get("part") == "done")
+    assert done_files_1, "done rows must land in done-part files"
+    got = {r["k"]: (r["state"], r["v"]) for r in t.read().collect()}
+    assert len(got) == 100
+    assert all(got[i] == ("done", 2) for i in range(50))
+    assert all(got[i] == ("pending", 1) for i in range(50, 100))
+
+    # second epoch: transition 50..99 → done, insert 100..149 pending.
+    # The done files from step 1 must be CARRIED OVER byte-identical
+    # (same manifest paths — no copy-on-write of the done history).
+    upd2 = spark.createDataFrame(
+        [(i, "done", 3) for i in range(50, 100)]
+        + [(i, "pending", 1) for i in range(100, 150)],
+        "k long, state string, v int",
+    )
+    t.merge(upd2, dedupe=False, source_parts=["pending"], touched_hint="all")
+    m2 = t._load_manifest(t.current_snapshot_id())["files"]
+    done_files_2 = sorted(f["path"] for f in m2 if f.get("part") == "done")
+    assert set(done_files_1) <= set(done_files_2), (
+        "prior done files must be carried, not rewritten"
+    )
+    got = {r["k"]: (r["state"], r["v"]) for r in t.read().collect()}
+    assert len(got) == 150
+    assert all(got[i] == ("done", 2) for i in range(50))
+    assert all(got[i] == ("done", 3) for i in range(50, 100))
+    assert all(got[i] == ("pending", 1) for i in range(100, 150))
+
+
+def test_source_parts_delete_scopes_to_parts(spark, tmp_path):
+    t = _mk_state_table(spark, tmp_path / "spd")
+    t.merge(
+        spark.createDataFrame([(i, "done", 2) for i in range(40)],
+                              "k long, state string, v int"),
+        dedupe=False, source_parts=["pending"],
+    )
+    # delete pending keys 40..59 — done files untouched
+    before_done = sorted(
+        f["path"]
+        for f in t._load_manifest(t.current_snapshot_id())["files"]
+        if f.get("part") == "done"
+    )
+    t.merge(
+        spark.createDataFrame([(i,) for i in range(40, 60)], "k long"),
+        delete=True, dedupe=False, source_parts=["pending"],
+    )
+    after = t._load_manifest(t.current_snapshot_id())["files"]
+    assert before_done and set(before_done) <= {f["path"] for f in after}
+    ks = {r["k"] for r in t.read().collect()}
+    assert ks == set(range(40)) | set(range(60, 100))
+
+
+# ---------- mostly_new ----------
+
+
+def test_mostly_new_pure_append_when_no_matches(spark, tmp_path):
+    t = SnapTable.create(spark, str(tmp_path / "mn"), "k long, v int", ["k"], n_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, 1) for i in range(100)], "k long, v int"))
+    prev = {f["path"] for f in t._load_manifest(t.current_snapshot_id())["files"]}
+    t.merge(
+        spark.createDataFrame([(i, 2) for i in range(100, 200)], "k long, v int"),
+        dedupe=False, mostly_new=True,
+    )
+    now = t._load_manifest(t.current_snapshot_id())["files"]
+    assert prev <= {f["path"] for f in now}, "no-match merge must be a pure append"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 200
+    assert got[5] == 1 and got[150] == 2
+
+
+def test_mostly_new_overlay_on_real_matches(spark, tmp_path):
+    t = SnapTable.create(spark, str(tmp_path / "mn2"), "k long, v int, w string", ["k"], n_buckets=4)
+    t.overwrite(
+        spark.createDataFrame([(i, 1, f"w{i}") for i in range(100)], "k long, v int, w string")
+    )
+    # one matched key (overlay: NULL w keeps old value) + new keys
+    upd = spark.createDataFrame(
+        [(50, 9, None)] + [(i, 2, f"w{i}") for i in range(200, 210)],
+        "k long, v int, w string",
+    )
+    t.merge(upd, dedupe=False, mostly_new=True)
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert len(got) == 110
+    assert got[50] == (9, "w50"), "matched key: new v wins, absent w keeps old"
+    assert got[205] == (2, "w205")
+    assert got[49] == (1, "w49")
+    # untouched buckets' files carried over
+    files = t._load_manifest(t.current_snapshot_id())["files"]
+    assert len({f["bucket"] for f in files}) == 4
+
+
+def test_cogroup_strategy_identical_to_join(spark, tmp_path):
+    """merge(strategy='cogroup') must produce the same table content as the
+    default join strategy — overlay semantics (new wins per non-null
+    column), inserts, carried rows, part placement — on a frontier-shaped
+    table (nullable int columns, non-null long key)."""
+    ddl = "k long, host string, n int, v double, state string"
+    results = {}
+    for strat in ("join", "cogroup"):
+        t = SnapTable.create(
+            spark, str(tmp_path / f"cg_{strat}"), ddl, ["k"],
+            n_buckets=4, part_col="state",
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, f"h{i % 3}", i, float(i), "pending") for i in range(200)], ddl
+            )
+        )
+        upd = spark.createDataFrame(
+            # matched transitions (n absent → keeps old), plus inserts
+            [(i, None, None, 9.5, "done") for i in range(0, 150)]
+            + [(i, f"h{i % 3}", i, 0.5, "pending") for i in range(300, 340)],
+            ddl,
+        )
+        t.merge(upd, dedupe=False, source_parts=["pending"], strategy=strat)
+        results[strat] = sorted(
+            (r["k"], r["host"], r["n"], r["v"], r["state"])
+            for r in t.read().collect()
+        )
+        if strat == "cogroup":
+            files = t._load_manifest(t.current_snapshot_id())["files"]
+            assert all("part" in f for f in files)
+    assert results["join"] == results["cogroup"]
+    assert len(results["join"]) == 240
+
+
+# ---------- ensure_meta guards (ADVICE r4 #1/#2) ----------
+
+
+def test_ensure_meta_downgrade_raises(spark, tmp_path):
+    t = SnapTable.create(
+        spark, str(tmp_path / "em"), "k long, v int, flag boolean", ["k"],
+        n_buckets=2, derived={"flag": "v > 0"}, stat_cols=["flag"],
+    )
+    with pytest.raises(ValueError, match="downgrade"):
+        t.ensure_meta("k long, v int, flag boolean")  # strips derived+stats
+    with pytest.raises(ValueError, match="downgrade"):
+        t.ensure_meta(
+            "k long, v int, flag boolean", derived={"flag": "v > 1"},
+            stat_cols=["flag"],
+        )  # redefinition
+    with pytest.raises(ValueError, match="downgrade"):
+        t.ensure_meta(
+            "k long, v int, flag boolean", derived={"flag": "v > 0"},
+        )  # stat_cols stripped
+    # unchanged full config is a no-op
+    assert t.ensure_meta(
+        "k long, v int, flag boolean", derived={"flag": "v > 0"}, stat_cols=["flag"]
+    ) is False
+    # part_col cannot be changed once set
+    t2 = SnapTable.create(
+        spark, str(tmp_path / "em2"), "k long, s string", ["k"], part_col="s"
+    )
+    with pytest.raises(ValueError, match="downgrade"):
+        t2.ensure_meta("k long, s string")
+
+
+def test_ensure_meta_comma_bearing_types(spark, tmp_path):
+    ddl = "k long, m map<string,string>, d decimal(10,2)"
+    t = SnapTable.create(spark, str(tmp_path / "emc"), ddl, ["k"], n_buckets=2)
+    # append-compatible evolution with comma-bearing types parses correctly
+    assert t.ensure_meta(ddl + ", extra string") is True
+    assert t.schema_ddl.endswith("extra string")
+    # a non-prefix evolution still fails loudly
+    with pytest.raises(ValueError, match="not a prefix"):
+        t.ensure_meta("k long, m map<string,int>, d decimal(10,2), extra string")
+
+
+# ---------- Bloom saturation policy ----------
+
+
+def test_bloom_saturation_rebuild_restores_fpr(spark, tmp_path):
+    bf = BloomShards.create(str(tmp_path / "bl"), n_shards=4, m_bits=1 << 10, k=7)
+    keys = spark.range(2000).select(F.xxhash64("id").alias("url_key"))
+    bf.add_spark(keys, "url_key")
+    assert bf.fill_ratio() > 0.5, "2000 keys into 4x1024 bits must saturate"
+    est = bf.estimated_keys()
+    # fill-based estimate is order-of-magnitude sane even near saturation
+    assert est > 500
+    old_m = bf.m_bits_of()
+    bf.rebuild_spark(keys, "url_key")
+    assert bf.m_bits_of() > old_m
+    assert bf.fill_ratio() < 0.30
+    # no false negatives ever
+    kv = np.array([r["url_key"] for r in keys.collect()], dtype=np.int64)
+    assert bf.contains(kv).all()
+    # false-positive rate on fresh keys restored to useful levels
+    fresh = np.array(
+        [r["url_key"] for r in spark.range(10_000, 12_000)
+         .select(F.xxhash64("id").alias("url_key")).collect()],
+        dtype=np.int64,
+    )
+    assert bf.contains(fresh).mean() < 0.05
+    # versioned sizing: the PRE-rebuild version still reads with its own
+    # m_bits (rollback safety)
+    ver = bf.current_version()
+    bf._write_pointer(bf.path, ver - 1)
+    assert bf.m_bits_of() == old_m
+    assert bf.contains(kv).all()
+    bf._write_pointer(bf.path, ver)
+
+
+def test_engine_bloom_rebuild_in_epoch(spark, tmp_path):
+    """A deliberately undersized filter saturates during the epoch commit;
+    the engine rebuilds it from the seen set inside the same commit group.
+    The rebuilt filter must keep zero false negatives (D2 exactness) and
+    regain a real prefilter hit-rate; the state record tracks the new
+    version so resume() stays consistent."""
+    eng = _engine(
+        spark, tmp_path / "blsat", per_host_budget=10**9,
+        bloom_shards=4, bloom_bits=1 << 10,
+    )
+    eng.add_seed_df(synthetic_seed_df(spark, 1500, n_hosts=8))
+    eng.run_epoch()
+    assert eng.bloom.m_bits_of() > 1 << 10, "epoch commit must have rebuilt"
+    assert eng.bloom.fill_ratio() < 0.5
+    seen_keys = np.array(
+        [r["url_key"] for r in eng.seen.read().select("url_key").collect()],
+        dtype=np.int64,
+    )
+    assert len(seen_keys) > 0 and eng.bloom.contains(seen_keys).all()
+    state = eng._read_state()
+    assert state["bloom_version"] == eng.bloom.current_version()
+    # a fresh batch of unseen URLs mostly passes the prefilter as negatives
+    fresh = np.array(
+        [r["url_key"] for r in spark.range(50_000, 52_000)
+         .select(F.xxhash64("id").alias("url_key")).collect()],
+        dtype=np.int64,
+    )
+    assert eng.bloom.contains(fresh).mean() < 0.05
+
+
+# ---------- sustained multi-epoch invariants ----------
+
+
+def test_sustained_epochs_keep_invariants(spark, tmp_path):
+    """Three consecutive epochs of FRESH URLs into one workdir: frontier
+    keys stay unique across the state-partitioned layout, order-log ranks
+    stay dense per (host, epoch), seen grows by exactly the terminal rows,
+    and the frontier's done files from epoch N survive epoch N+1 untouched."""
+    eng = _engine(spark, tmp_path / "sus", per_host_budget=10**9, fetch_salting=4)
+    done_paths_prev: set = set()
+    for e in range(3):
+        eng.add_seed_df(synthetic_seed_df(spark, 500, n_hosts=8, start_id=e * 500))
+        stats = eng.run_epoch()
+        assert stats["deduped"] == 0, "fresh URLs must never dedup"
+        m = eng.frontier._load_manifest(eng.frontier.current_snapshot_id())["files"]
+        done_now = {f["path"] for f in m if f.get("part") == "done"}
+        assert done_paths_prev <= done_now
+        done_paths_prev = done_now
+    fr = eng.frontier.read()
+    assert fr.count() == 1500
+    assert fr.select("url_key").distinct().count() == 1500
+    assert eng.seen.read().count() == eng.seen.read().select("url_key").distinct().count()
+    ol = eng.order_log.read().toPandas()
+    assert len(ol) == 1500
+    for (_h, _e), g in ol.groupby(["host", "epoch"]):
+        assert sorted(g["host_seq"]) == list(range(len(g)))
+
+
+# ---------- streaming boundary probe (VERDICT r4 #8, stretch) ----------
+
+
+def test_availablenow_processingtime_timeout_boundary(spark, tmp_path):
+    """Executable probe of the documented Spark 4.1.2 boundary
+    (streaming/pipeline.py stream_sessionize): ProcessingTimeTimeout under
+    Trigger.AvailableNow has been seen to hit an internal planner NPE in
+    some session states. The probe RUNS the combination: if it raises, the
+    failure must carry the documented planner signature (the workaround
+    comment stays); if it completes, gap-closed sessions must still be
+    correct — either way the boundary is pinned by execution, not prose.
+    When a Spark upgrade makes this pass consistently, the docstring's
+    caution can be narrowed."""
+    import datetime as dt
+
+    from biz_crawlers_spark.streaming.pipeline import (
+        EVENTS_DDL,
+        read_event_stream,
+        stream_sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "npe_src"
+    src.mkdir()
+    rows = [(0, base, 1, "a", 1.0), (1, base + dt.timedelta(minutes=5), 1, "a", 2.0),
+            (2, base + dt.timedelta(hours=3), 1, "a", 4.0)]
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("overwrite").parquet(
+        str(src)
+    )
+    try:
+        q = (
+            stream_sessionize(read_event_stream(spark, str(src)), use_timeout=True)
+            .writeStream.format("memory")
+            .queryName("r5_npe_probe")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_npe"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    except Exception as e:  # the documented boundary fired
+        msg = str(e)
+        assert (
+            "NullPointerException" in msg or "SparkPlan" in msg or "session" in msg
+        ), f"unexpected failure shape for the availableNow+timeout probe: {msg[:400]}"
+        return
+    got = spark.sql(
+        "SELECT * FROM r5_npe_probe ORDER BY session_start"
+    ).collect()
+    # the 2-event session closed by the 3h gap must be emitted correctly
+    closed = [r for r in got if r["n_events"] == 2]
+    assert len(closed) == 1 and closed[0]["total_value"] == 3.0

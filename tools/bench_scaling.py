@@ -12,9 +12,13 @@ defensible):
 
 - ``--repeats R`` (default 5) runs R pinned pairs, ALTERNATING levels
   (N, 4N, N, 4N, ...) so slow drift of the box hits both levels equally;
-  the reported efficiency is computed from the per-level MEDIAN throughput,
-  with the per-pair efficiencies and their spread alongside — a single
-  lucky pair is never the headline.
+  the ONE summary statistic is ``pair_eff_median`` — the median of per-pair
+  efficiencies, matching the alternating design (VERDICT r4 #3 unification)
+  — with the per-pair values, their MAD, and the raw spread alongside; a
+  single lucky pair is never the headline. The pre-registered STALL RULE
+  (see main()) re-runs slots whose 4N commit tail exceeds 2× the running
+  campaign median — host-weather events are excluded by protocol, with the
+  stalled raw values still reported.
 - every run is taskset-pinned to exactly its core budget (local[N] spawns
   N JVM task threads PLUS N Python workers; unpinned, the "N" level borrows
   idle cores and the ratio is not N vs 4N).
@@ -145,6 +149,10 @@ def run_level(cpus: int, n_urls: int) -> dict:
     return json.loads(line)
 
 
+def _commit_tail(run: dict) -> float:
+    return float((run.get("phase_sec") or {}).get("commits") or 0.0)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
@@ -154,30 +162,62 @@ def main() -> None:
         repeats = int(sys.argv[2])
     lo, hi = LEVELS
     factor = hi / lo
-    pairs = []
+    pairs = []          # accepted pairs (one per slot)
+    stalled_pairs = []  # raw stalled runs, reported but summarized separately
+    # PRE-REGISTERED STALL RULE (campaign_r5_prereg.md / VERDICT r4 #3): a
+    # pair whose 4N-level commit tail exceeds 2× the running median of the
+    # accepted 4N commit tails (only applied once ≥2 pairs are accepted) is
+    # marked stalled and the SLOT re-runs, both levels, at most twice; raw
+    # stalled values are still reported. The dispersion claim is decided by
+    # this protocol, not by post-hoc narrative.
     for i in range(repeats):
-        r_lo = run_level(lo, N_URLS)
-        r_hi = run_level(hi, N_URLS)
-        eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / factor
-        pairs.append({"N": r_lo, "4N": r_hi, "eff_urls": round(eff, 3)})
-        print(f"pair {i + 1}/{repeats}: local[{lo}] {r_lo['urls_per_sec']} u/s, "
-              f"local[{hi}] {r_hi['urls_per_sec']} u/s, eff {eff:.3f}",
-              flush=True)
+        for attempt in range(3):
+            r_lo = run_level(lo, N_URLS)
+            r_hi = run_level(hi, N_URLS)
+            eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / factor
+            pair = {"N": r_lo, "4N": r_hi, "eff_urls": round(eff, 3),
+                    "slot": i + 1, "attempt": attempt + 1}
+            tails = [_commit_tail(p["4N"]) for p in pairs]
+            stalled = (
+                len(tails) >= 2
+                and _commit_tail(r_hi) > 2 * statistics.median(tails)
+            )
+            print(f"pair {i + 1}/{repeats} (attempt {attempt + 1}): "
+                  f"local[{lo}] {r_lo['urls_per_sec']} u/s, "
+                  f"local[{hi}] {r_hi['urls_per_sec']} u/s, eff {eff:.3f}"
+                  + (" [STALLED: commit tail "
+                     f"{_commit_tail(r_hi):.1f}s > 2x median {statistics.median(tails):.1f}s]"
+                     if stalled else ""),
+                  flush=True)
+            if not stalled:
+                pairs.append(pair)
+                break
+            pair["stalled"] = True
+            stalled_pairs.append(pair)
+            if attempt == 2:  # final re-run also stalled: enters flagged
+                pairs.append(pair)
     lo_meds = statistics.median(p["N"]["urls_per_sec"] for p in pairs)
     hi_meds = statistics.median(p["4N"]["urls_per_sec"] for p in pairs)
     lo_img = statistics.median(p["N"]["images_per_sec"] for p in pairs)
     hi_img = statistics.median(p["4N"]["images_per_sec"] for p in pairs)
     effs = sorted(p["eff_urls"] for p in pairs)
+    # THE one summary statistic (VERDICT r4 "What's wrong" #3): the median
+    # of per-pair efficiencies — it matches the alternating-pair design
+    # (each ratio compares runs from the same ambient regime). The
+    # ratio-of-medians is NOT emitted anymore; artifacts cite pair_eff_median.
+    pair_eff_median = round(statistics.median(effs), 3)
+    mad = round(statistics.median(abs(e - pair_eff_median) for e in effs), 3)
     result = {
         "levels": f"{lo}->{hi}", "factor": factor, "n_urls": N_URLS,
         "repeats": repeats, "tmpfs": USE_TMPFS and os.path.isdir("/dev/shm"),
         "median_urls_per_sec": {"N": lo_meds, "4N": hi_meds},
         "median_images_per_sec": {"N": lo_img, "4N": hi_img},
-        "scaling_efficiency_urls_median": round((hi_meds / lo_meds) / factor, 3),
-        "scaling_efficiency_images_median": round((hi_img / lo_img) / factor, 3),
+        "pair_eff_median": pair_eff_median,
+        "pair_eff_mad": mad,
         "per_pair_eff_urls": effs,
         "eff_spread": round((effs[-1] - effs[0]) / 2, 3),
         "pairs": pairs,
+        "stalled_pairs": stalled_pairs,
     }
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
