@@ -663,6 +663,8 @@ class CrawlEngine:
         # Any key collision (re-crawled image on another page, TTL
         # re-crawls) falls back to the mostly_new merge, which pays the
         # overlay only for genuinely matched buckets.
+        payload_paths: dict[str, str] = {}
+
         def _payload_commit(
             table: SnapTable, part_dir: str, df_rows, key: str, n_rows: int
         ) -> None:
@@ -689,11 +691,18 @@ class CrawlEngine:
                         table.adopt_files(
                             files, summary={"epoch": epoch, "adopted": True}
                         )
+                        payload_paths[part_dir] = "adopt"
                         return
+            # fallback for matched or in-batch-duplicate keys: MERGE-ON-READ
+            # upsert — append O(batch) + an equality-delete entry; never an
+            # O(table) rewrite (refresh crawls re-crawl whole epochs, and an
+            # 8-digit id space guarantees collisions at 10^6+ entities). The
+            # read tax is folded back by compact()/vacuum-cadence.
             table.merge(
-                df_rows, summary={"epoch": epoch}, dedupe=False, mostly_new=True,
-                insert_direct=True,
+                df_rows, summary={"epoch": epoch, "mor": True}, dedupe=False,
+                mor=True, insert_direct=True,
             )
+            payload_paths[part_dir] = "mor"
 
         def _c_images() -> None:
             _payload_commit(
@@ -714,8 +723,10 @@ class CrawlEngine:
                 )
                 .dropDuplicates(["url_key"])
             )
+            # MoR upsert: re-archived bodies (TTL re-crawls) supersede by
+            # key at read time — O(batch) write, never an O(table) rewrite
             self.pages.merge(
-                page_rows, summary={"epoch": epoch}, dedupe=False, mostly_new=True,
+                page_rows, summary={"epoch": epoch}, dedupe=False, mor=True,
                 insert_direct=True,
             )
 
@@ -1040,6 +1051,7 @@ class CrawlEngine:
             "images": n_images, "discovered": n_discovered,
             "cache_hits": totals["cache_hits"], "drained": False,
             "phase_sec": phase_sec,
+            "payload_paths": payload_paths,
         }
 
     def run(self, max_epochs: int = 100, maintain_every: int = 0) -> list[dict]:

@@ -247,14 +247,15 @@ class SnapTable:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid < 0:
             return self.spark.createDataFrame([], self.schema_ddl)
-        files = [f["path"] for f in self._load_manifest(sid)["files"]]
+        m = self._load_manifest(sid)
+        files = m["files"]
         if not files:
             return self.spark.createDataFrame([], self.schema_ddl)
-        return self._heal_derived(
-            self.spark.read.schema(self.schema_ddl).parquet(
-                *[os.path.join(self.path, p) for p in files]
-            )
+        df = self.spark.read.schema(self.schema_ddl).parquet(
+            *[os.path.join(self.path, f["path"]) for f in files]
         )
+        df = self._apply_deletes(df, files, m.get("deletes", []))
+        return self._heal_derived(df)
 
     def is_empty(self) -> bool:
         sid = self.current_snapshot_id()
@@ -269,19 +270,21 @@ class SnapTable:
         sid = self.current_snapshot_id()
         if sid < 0:
             return None
+        m = self._load_manifest(sid)
         cand = []
-        for f in self._load_manifest(sid)["files"]:
+        for f in m["files"]:
             st = (f.get("stats") or {}).get(col)
             may = st is None or (st[1] is True if value else st[0] is False)
             if may:
-                cand.append(f["path"])
+                cand.append(f)
         if not cand:
             return None
-        return self._heal_derived(
-            self.spark.read.schema(self.schema_ddl).parquet(
-                *[os.path.join(self.path, p) for p in cand]
-            )
+        df = self.spark.read.schema(self.schema_ddl).parquet(
+            *[os.path.join(self.path, f["path"]) for f in cand]
         )
+        # MoR: a superseded stale row must not answer the probe
+        df = self._apply_deletes(df, cand, m.get("deletes", []))
+        return self._heal_derived(df)
 
     # ---------- write paths ----------
 
@@ -390,10 +393,23 @@ class SnapTable:
         return out
 
     def _commit(
-        self, operation: str, files: list[dict], summary: dict | None
+        self,
+        operation: str,
+        files: list[dict],
+        summary: dict | None,
+        deletes: list[dict] | None = None,
     ) -> int:
+        """``deletes``: equality-delete entries ``{"path": ..., "seq": N}``
+        (merge-on-read) carried in the manifest; a delete entry suppresses
+        any row with a matching key stored in a file of an OLDER snapshot
+        (file seq = the s{N} data directory it lives in). ``None`` inherits
+        the parent's deletes; pass ``[]`` to clear (overwrite/compaction)."""
         parent = self.current_snapshot_id()
         sid = parent + 1
+        if deletes is None:
+            deletes = (
+                self._load_manifest(parent).get("deletes", []) if parent >= 0 else []
+            )
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -403,9 +419,65 @@ class SnapTable:
             "summary": summary or {},
             "files": files,
         }
+        if deletes:
+            manifest["deletes"] = deletes
         self._atomic_write(self._manifest_path(sid), json.dumps(manifest))
         self._atomic_write(os.path.join(self.path, "_current"), str(sid))
         return sid
+
+    @staticmethod
+    def _file_seq(entry: dict) -> int:
+        """Snapshot sequence a data file was added in — parsed from its
+        ``data/s{N}/...`` path (every write/adopt lands files there)."""
+        p = entry["path"]
+        try:
+            part = p.split("data/s", 1)[1]
+            return int(part.split("/", 1)[0].split(os.sep, 1)[0])
+        except (IndexError, ValueError):
+            return 0
+
+    def _apply_deletes(
+        self, df: DataFrame, files: list[dict], deletes: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read resolution: drop rows whose key appears in an
+        equality-delete entry with seq NEWER than the row's file. The row
+        written by the superseding batch (file seq >= delete seq) survives.
+        Cost: one broadcast join on file path (O(files) rows) + one join
+        against the delete keys (narrow, bounded by compaction cadence)."""
+        applicable = [
+            d for d in deletes if any(self._file_seq(f) < d["seq"] for f in files)
+        ]
+        if not applicable:
+            return df
+        fmap = self.spark.createDataFrame(
+            [
+                (os.path.abspath(os.path.join(self.path, f["path"])), self._file_seq(f))
+                for f in files
+            ],
+            "_mor_file string, _mor_seq int",
+        )
+        dparts = []
+        for d in applicable:
+            dparts.append(
+                self.spark.read.parquet(os.path.join(self.path, d["path"]))
+                .select(*self.key_cols)
+                .withColumn("_mor_dseq", F.lit(int(d["seq"])))
+            )
+        dels = dparts[0]
+        for extra in dparts[1:]:
+            dels = dels.unionByName(extra)
+        dels = dels.groupBy(*self.key_cols).agg(F.max("_mor_dseq").alias("_mor_dseq"))
+        # input_file_name yields a URI (file://...); normalize to the abs path
+        fpath = F.regexp_replace(F.input_file_name(), r"^file:/+", "/")
+        return (
+            df.withColumn("_mor_file", fpath)
+            .join(F.broadcast(fmap), "_mor_file", "left")
+            .join(dels, on=self.key_cols, how="left")
+            .filter(
+                F.col("_mor_dseq").isNull() | (F.col("_mor_seq") >= F.col("_mor_dseq"))
+            )
+            .drop("_mor_file", "_mor_seq", "_mor_dseq")
+        )
 
     def _fill_derived_placeholders(self, df: DataFrame) -> DataFrame:
         """Callers may omit generated columns entirely — they are recomputed
@@ -435,7 +507,9 @@ class SnapTable:
         sid = self.current_snapshot_id() + 1
         df = self._fill_derived_placeholders(df)
         new_files = self._write_data_files(df.select(*self._cols()), sid, salt_n=salt_n)
-        return self._commit("overwrite", new_files, summary)
+        # full replacement: equality-deletes are resolved into the rewrite
+        # (this is how compact() folds the MoR read tax back to zero)
+        return self._commit("overwrite", new_files, summary, deletes=[])
 
     def _cols(self) -> list[str]:
         return [f.name for f in self.spark.createDataFrame([], self.schema_ddl).schema.fields]
@@ -454,6 +528,7 @@ class SnapTable:
         mostly_new: bool = False,
         insert_direct: bool = False,
         strategy: str = "join",
+        mor: bool = False,
     ) -> int:
         """Upsert ``updates`` by key (or delete their keys if ``delete``).
 
@@ -529,7 +604,9 @@ class SnapTable:
         per epoch, the exact growth the sustained-crawl campaign measures.
         """
         parent = self.current_snapshot_id()
-        prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
+        prev_m = self._load_manifest(parent) if parent >= 0 else {"files": []}
+        prev_files = prev_m["files"]
+        prev_deletes = prev_m.get("deletes", [])
         if dedupe:
             updates = updates.dropDuplicates(self.key_cols)
 
@@ -565,9 +642,12 @@ class SnapTable:
         def _read_files(files: list[dict]) -> DataFrame:
             if not files:
                 return self.spark.createDataFrame([], self.schema_ddl)
-            return self.spark.read.schema(self.schema_ddl).parquet(
+            df = self.spark.read.schema(self.schema_ddl).parquet(
                 *[os.path.join(self.path, f["path"]) for f in files]
             )
+            # merge must see the MoR-RESOLVED table: a superseded stale row
+            # entering the overlay would resurrect next to its survivor
+            return self._apply_deletes(df, files, prev_deletes)
 
         def _overlay(old: DataFrame, upd: DataFrame) -> DataFrame:
             non_key = [c for c in self._cols() if c not in self.key_cols]
@@ -586,6 +666,32 @@ class SnapTable:
             )
 
         sid = parent + 1
+
+        if mor and not delete:
+            # MERGE-ON-READ upsert (Iceberg equality-delete shape): append
+            # the batch as new files and record the batch's KEYS as an
+            # equality-delete entry at this sequence — any OLDER row with a
+            # matching key is suppressed at read time; the batch's own rows
+            # (file seq == delete seq) survive. Write cost is O(batch)
+            # regardless of how many keys match (refresh crawls re-crawl
+            # entire epochs: rewrite-on-match would be O(table) per epoch).
+            # The read tax is one narrow join bounded by compaction cadence
+            # (compact()/overwrite fold deletes back to zero). Caller MUST
+            # supply key-distinct updates (two same-key rows at one seq
+            # would both survive).
+            new_files = self._write_data_files(updates, sid, direct=insert_direct)
+            del_rel = os.path.join("data", f"s{sid}", "_eq_deletes")
+            (
+                self.spark.read.schema(self.schema_ddl)
+                .parquet(*[os.path.join(self.path, f["path"]) for f in new_files])
+                .select(*self.key_cols)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, del_rel))
+            )
+            deletes = prev_deletes + [{"path": del_rel, "seq": sid}]
+            return self._commit(
+                "merge", prev_files + new_files, summary, deletes=deletes
+            )
 
         if mostly_new and not delete:
             updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
@@ -800,10 +906,14 @@ class SnapTable:
             sid = self._load_manifest(sid)["parent_id"]
         referenced: set[str] = set()
         for rid in retained_ids:
-            referenced.update(f["path"] for f in self._load_manifest(rid)["files"])
+            rm = self._load_manifest(rid)
+            referenced.update(f["path"] for f in rm["files"])
+            referenced.update(d["path"] for d in rm.get("deletes", []))
         expired = 0
         deleted = 0
         mdir = os.path.join(self.path, "manifests")
+        import shutil as _sh
+
         for name in sorted(os.listdir(mdir)):
             if not name.startswith("snap-"):
                 continue
@@ -815,6 +925,11 @@ class SnapTable:
                 p = os.path.join(self.path, f["path"])
                 if f["path"] not in referenced and os.path.exists(p):
                     os.unlink(p)
+                    deleted += 1
+            for d in m.get("deletes", []):  # equality-delete dirs (MoR)
+                p = os.path.join(self.path, d["path"])
+                if d["path"] not in referenced and os.path.isdir(p):
+                    _sh.rmtree(p, ignore_errors=True)
                     deleted += 1
             os.unlink(os.path.join(mdir, name))
             expired += 1

@@ -194,6 +194,60 @@ def test_cogroup_strategy_identical_to_join(spark, tmp_path):
     assert len(results["join"]) == 240
 
 
+def test_mor_upsert_append(spark, tmp_path):
+    """merge(mor=True): appends the batch + an equality-delete entry; reads
+    resolve newest-sequence rows (Iceberg MoR shape). Matched keys get the
+    NEW values, unmatched old rows survive, write cost never rewrites old
+    files, and compact() folds the deletes away."""
+    t = SnapTable.create(spark, str(tmp_path / "mor"), "k long, v int", ["k"], n_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, 1) for i in range(100)], "k long, v int"))
+    files_before = {
+        f["path"] for f in t._load_manifest(t.current_snapshot_id())["files"]
+    }
+    t.merge(
+        spark.createDataFrame(
+            [(i, 2) for i in range(50, 120)], "k long, v int"
+        ),
+        dedupe=False, mor=True,
+    )
+    m = t._load_manifest(t.current_snapshot_id())
+    assert m.get("deletes"), "MoR merge must record an equality-delete entry"
+    assert files_before <= {f["path"] for f in m["files"]}, "old files never rewritten"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 120
+    assert got[10] == 1 and got[60] == 2 and got[110] == 2
+    # second MoR layer stacks correctly
+    t.merge(spark.createDataFrame([(60, 3)], "k long, v int"), dedupe=False, mor=True)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[60] == 3 and got[55] == 2 and got[10] == 1 and len(got) == 120
+    # read_stats_pruned-style merge interplay: classic merge on a MoR table
+    # must not resurrect superseded rows
+    t.merge(spark.createDataFrame([(10, 9)], "k long, v int"), dedupe=False)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[10] == 9 and got[60] == 3 and len(got) == 120
+    # compaction folds deletes to zero and preserves content
+    t.compact()
+    m2 = t._load_manifest(t.current_snapshot_id())
+    assert not m2.get("deletes")
+    got2 = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got2 == got
+    # expire keeps only referenced delete dirs; reads stay correct
+    t.expire_snapshots(keep_last=2)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == got
+
+
+def test_mor_rollback_window(spark, tmp_path):
+    """Rolling back past a MoR merge restores the pre-merge view (deletes
+    are manifest-scoped)."""
+    t = SnapTable.create(spark, str(tmp_path / "morrb"), "k long, v int", ["k"], n_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, 1), (2, 1)], "k long, v int"))
+    sid = t.current_snapshot_id()
+    t.merge(spark.createDataFrame([(2, 9), (3, 9)], "k long, v int"), dedupe=False, mor=True)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 1, 2: 9, 3: 9}
+    t.rollback(sid)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 1, 2: 1}
+
+
 # ---------- ensure_meta guards (ADVICE r4 #1/#2) ----------
 
 

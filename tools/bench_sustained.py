@@ -128,6 +128,7 @@ def worker() -> None:
                 "urls_per_sec": round(processed / dt, 1),
                 "images_per_sec": round(stats["images"] / dt, 1),
                 "phase_sec": stats.get("phase_sec"),
+                "payload_paths": stats.get("payload_paths"),
                 "bloom_fill": round(eng.bloom.fill_ratio(), 4),
                 "tables": {
                     n: _table_stats(getattr(eng, n))
@@ -148,6 +149,9 @@ def worker() -> None:
                 }
             epochs.append(rec)
             print(json.dumps(rec), flush=True)
+            # live progress for the operator (parent captures stdout)
+            with open("/tmp/sustained_progress.jsonl", "a") as pf:
+                pf.write(json.dumps(rec) + "\n")
         import statistics
 
         first3 = statistics.median(r["urls_per_sec"] for r in epochs[:3])
@@ -188,16 +192,31 @@ def main() -> None:
     cmd = [sys.executable, os.path.abspath(__file__), "--worker"]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{CPUS - 1}"] + cmd
+    env = {**os.environ}
+    # a 10^7-row growing store needs more driver heap than the single-epoch
+    # default (the whole local "cluster" lives in one JVM)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=14400,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env={**os.environ},
+        env=env,
     )
     sys.stderr.write(out.stderr[-4000:] if out.stderr else "")
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if not lines:
-        raise SystemExit(f"worker produced no JSON; stdout tail: {out.stdout[-2000:]}")
-    result = json.loads(lines[-1])
+    finals = []
+    for l in lines:
+        try:
+            rec = json.loads(l)
+        except ValueError:
+            continue
+        if rec.get("campaign") == "sustained":
+            finals.append(rec)
+    if not finals:
+        raise SystemExit(
+            "worker died before the campaign summary "
+            f"({len(lines)} epoch records on stdout; stderr tail above)"
+        )
+    result = finals[-1]
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
     path = "BENCH/sustained_result.json"
