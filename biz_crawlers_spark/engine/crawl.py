@@ -35,10 +35,12 @@ must be O(batch), never O(accumulated tables), or a long campaign decays):
   declare ``source_parts=["pending"]`` (their matched keys are all
   currently-pending by construction), so the done/denied/failed history is
   carried over untouched — c_frontier is flat across epochs
-- images/records/pages merges are ``mostly_new``: a narrow key-scan finds
-  genuinely matched keys; at steady state there are none and the commit is
-  a pure append — the whole-table copy-on-write rewrite (all buckets
-  touched by uniformly-hashed new keys) never happens
+- payload commits are ZERO-COPY when the batch is key-distinct: staging's
+  row_type partitions are adopted by rename, with cross-epoch matched keys
+  (if any) riding the same commit as an equality-delete entry (merge-on-
+  read); in-batch duplicate keys (id collisions) fall back to an O(batch)
+  MoR append. The whole-table copy-on-write rewrite never happens, and the
+  MoR read tax is folded by the vacuum compaction cadence
 - the order log derives from the sequence the fetch stage itself emits
   (rows arrive sorted per range-contiguous lane) + per-(partition, host)
   offsets from the stats pass — a narrow scan and an append, no extra
@@ -671,33 +673,49 @@ class CrawlEngine:
             src = os.path.join(staging, f"row_type={part_dir}")
             can_adopt = (not self.keep_staging) and n_rows > 0 and os.path.isdir(src)
             if can_adopt:
-                new_keys = fetched.filter(
-                    F.col("row_type") == part_dir
-                ).select(key)
-                distinct_new = new_keys.distinct()
+                distinct_new = (
+                    fetched.filter(F.col("row_type") == part_dir)
+                    .select(key)
+                    .distinct()
+                )
                 if distinct_new.count() == n_rows:
-                    disjoint = table.is_empty() or (
-                        distinct_new.join(
-                            table.read().select(key), key, "left_semi"
-                        ).count()
-                        == 0
-                    )
-                    if disjoint:
-                        files = [
-                            os.path.join(src, fn)
-                            for fn in os.listdir(src)
-                            if fn.endswith(".parquet")
-                        ]
+                    # zero-copy adopt regardless of cross-epoch matches:
+                    # matched keys (conservative RAW-key superset — no MoR
+                    # resolution joins stacked onto the check) become an
+                    # equality-delete entry riding the same commit. Adopt
+                    # cost stays O(files) + one narrow key scan; it never
+                    # falls back just because a few keys recurred.
+                    files = [
+                        os.path.join(src, fn)
+                        for fn in os.listdir(src)
+                        if fn.endswith(".parquet")
+                    ]
+                    matched = None
+                    n_matched = 0
+                    if not table.is_empty():
+                        matched = distinct_new.join(
+                            table.read_keys_raw(), key, "left_semi"
+                        ).persist(StorageLevel.MEMORY_AND_DISK)
+                        n_matched = matched.count()
+                    try:
                         table.adopt_files(
-                            files, summary={"epoch": epoch, "adopted": True}
+                            files,
+                            summary={
+                                "epoch": epoch, "adopted": True,
+                                "matched": n_matched,
+                            },
+                            delete_keys_df=matched if n_matched else None,
                         )
-                        payload_paths[part_dir] = "adopt"
-                        return
-            # fallback for matched or in-batch-duplicate keys: MERGE-ON-READ
-            # upsert — append O(batch) + an equality-delete entry; never an
-            # O(table) rewrite (refresh crawls re-crawl whole epochs, and an
-            # 8-digit id space guarantees collisions at 10^6+ entities). The
-            # read tax is folded back by compact()/vacuum-cadence.
+                    finally:
+                        if matched is not None:
+                            matched.unpersist()
+                    payload_paths[part_dir] = "adopt"
+                    return
+            # in-batch duplicate keys (genuine id collisions / repeated
+            # content): MERGE-ON-READ upsert — append O(batch) + an
+            # equality-delete entry; never an O(table) rewrite (refresh
+            # crawls re-crawl whole epochs). The read tax is folded back by
+            # the vacuum compaction cadence.
             table.merge(
                 df_rows, summary={"epoch": epoch, "mor": True}, dedupe=False,
                 mor=True, insert_direct=True,
@@ -1067,16 +1085,31 @@ class CrawlEngine:
                 self.vacuum()
         return out
 
-    def vacuum(self, keep_last: int = 2) -> dict:
-        """Storage maintenance for long crawls: expire old table snapshots
-        (SnapTable copy-on-write history is the dominant storage cost at
-        10^10 rows), prune Bloom/cuckoo filter version directories, and drop
-        staging dirs older than the current epoch when they are not being
-        kept as the archive. Retention ≥ 2 keeps the resume() rollback
-        window intact (the state record never points more than one snapshot
-        back); time travel remains available inside the window."""
+    def vacuum(self, keep_last: int = 2, compact_deletes_after: int = 6) -> dict:
+        """Storage maintenance for long crawls: fold merge-on-read deletes
+        (tables carrying ≥ ``compact_deletes_after`` equality-delete entries
+        are compacted — the MoR read tax is bounded by THIS cadence, the
+        Iceberg maintenance contract), expire old table snapshots (SnapTable
+        copy-on-write history is the dominant storage cost at 10^10 rows),
+        prune Bloom/cuckoo filter version directories, and drop staging dirs
+        older than the current epoch when they are not being kept as the
+        archive. Retention ≥ 2 keeps the resume() rollback window intact
+        (the state record never points more than one snapshot back); time
+        travel remains available inside the window."""
         keep_last = max(keep_last, 2)
         stats: dict = {}
+        compacted = []
+        for name in self.TABLE_NAMES:
+            t = getattr(self, name)
+            sid = t.current_snapshot_id()
+            if sid >= 0 and len(
+                t._load_manifest(sid).get("deletes", [])
+            ) >= compact_deletes_after:
+                t.compact(summary={"op": "vacuum_mor_fold"})
+                compacted.append(name)
+        if compacted:
+            stats["mor_compacted"] = compacted
+            self._record_state(self.current_epoch())
         for name in self.TABLE_NAMES:
             stats[name] = getattr(self, name).expire_snapshots(keep_last=keep_last)
         stats["bloom_versions_removed"] = self.bloom.expire_versions(keep_last)

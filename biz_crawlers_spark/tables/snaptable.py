@@ -458,8 +458,18 @@ class SnapTable:
         )
         dparts = []
         for d in applicable:
+            # the delete dir's name starts with "_" so raw directory scans
+            # of the table never pick delete keys up as data; Spark's path
+            # filter would also hide the dir itself from a root-path read,
+            # so enumerate the part files and pass them explicitly
+            ddir = os.path.join(self.path, d["path"])
+            dfiles = [
+                os.path.join(ddir, n)
+                for n in sorted(os.listdir(ddir))
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
             dparts.append(
-                self.spark.read.parquet(os.path.join(self.path, d["path"]))
+                self.spark.read.parquet(*dfiles)
                 .select(*self.key_cols)
                 .withColumn("_mor_dseq", F.lit(int(d["seq"])))
             )
@@ -781,7 +791,29 @@ class SnapTable:
             if not assume_all:
                 updates.unpersist()
 
-    def adopt_files(self, src_paths: list[str], summary: dict | None = None) -> int:
+    def read_keys_raw(self) -> DataFrame:
+        """Key columns of ALL stored rows, WITHOUT merge-on-read resolution
+        (superseded keys included — a conservative superset). Used by the
+        engine's adopt check: resolving deletes there would stack a growing
+        join onto every epoch's check for no benefit, since a superseded
+        key being treated as 'matched' merely writes a harmless extra
+        delete entry."""
+        sid = self.current_snapshot_id()
+        if sid < 0:
+            return self.spark.createDataFrame([], self.schema_ddl).select(*self.key_cols)
+        files = self._load_manifest(sid)["files"]
+        if not files:
+            return self.spark.createDataFrame([], self.schema_ddl).select(*self.key_cols)
+        return self.spark.read.schema(self.schema_ddl).parquet(
+            *[os.path.join(self.path, f["path"]) for f in files]
+        ).select(*self.key_cols)
+
+    def adopt_files(
+        self,
+        src_paths: list[str],
+        summary: dict | None = None,
+        delete_keys_df: DataFrame | None = None,
+    ) -> int:
         """ZERO-COPY append: RENAME parquet files that some upstream stage
         already wrote (the crawl epoch's staging output, partitioned by
         row_type) into the table as a new snapshot — the payload bytes are
@@ -798,11 +830,19 @@ class SnapTable:
 
         Adopted files carry bucket -1 (their rows are not key-bucketed):
         any later merge that finds genuinely matched keys treats them as
-        always-touched, and compact() folds them into proper buckets."""
+        always-touched, and compact() folds them into proper buckets.
+
+        ``delete_keys_df`` (matched-key upsert, still zero-copy): keys whose
+        OLDER stored rows this batch supersedes — written as an
+        equality-delete entry at this sequence (merge-on-read), so adopt
+        stays an O(files)+O(matched) commit even when the batch collides
+        with existing keys. Contract (1) relaxes accordingly: matched keys
+        must all be in ``delete_keys_df``."""
         import shutil as _sh
 
         parent = self.current_snapshot_id()
-        prev_files = self._load_manifest(parent)["files"] if parent >= 0 else []
+        prev_m = self._load_manifest(parent) if parent >= 0 else {"files": []}
+        prev_files = prev_m["files"]
         sid = parent + 1
         dest = os.path.join(self.path, "data", f"s{sid}")
         os.makedirs(dest, exist_ok=True)
@@ -818,7 +858,14 @@ class SnapTable:
             if self.stat_cols:
                 e["stats"] = self._file_stats(dst)
             entries.append(e)
-        return self._commit("merge", prev_files + entries, summary)
+        deletes = None
+        if delete_keys_df is not None:
+            del_rel = os.path.join("data", f"s{sid}", "_eq_deletes")
+            delete_keys_df.select(*self.key_cols).write.mode("overwrite").parquet(
+                os.path.join(self.path, del_rel)
+            )
+            deletes = prev_m.get("deletes", []) + [{"path": del_rel, "seq": sid}]
+        return self._commit("merge", prev_files + entries, summary, deletes=deletes)
 
     def _cogroup_overlay(
         self, old: DataFrame, updates: DataFrame, prefer: str

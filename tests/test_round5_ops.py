@@ -236,6 +236,43 @@ def test_mor_upsert_append(spark, tmp_path):
     assert {r["k"]: r["v"] for r in t.read().collect()} == got
 
 
+def test_adopt_with_matched_delete_entry(spark, tmp_path):
+    """Engine-level: an epoch whose payload keys PARTIALLY recur must still
+    take the zero-copy adopt path, recording the matched keys as an
+    equality-delete entry — the new rows win, old unmatched rows survive,
+    and no data file is rewritten. Simulated by re-seeding the SAME URL
+    range after clearing the seen set (forced re-crawl → identical
+    image_ids)."""
+    eng = _engine(spark, tmp_path / "adm", per_host_budget=10**9, fetch_salting=2)
+    eng.add_seed_df(synthetic_seed_df(spark, 400, n_hosts=8))
+    eng.run_epoch()
+    n1 = eng.images.read().count()
+    m1 = eng.images._load_manifest(eng.images.current_snapshot_id())
+    files1 = {f["path"] for f in m1["files"]}
+    # force a re-crawl of the same URLs: wipe the seen set and reopen (the
+    # Bloom positives then pass the exact anti-join against the empty seen)
+    eng.seen.merge(eng.seen.read().select("url_key"), delete=True, dedupe=False)
+    fr = eng.frontier.read().filter(F.col("state") == "done")
+    eng.frontier.merge(fr.withColumn("state", F.lit("pending")))
+    st = eng.run_epoch()
+    assert st["fetched"] > 0 and st["deduped"] == 0
+    assert st["payload_paths"].get("image") == "adopt"
+    m2 = eng.images._load_manifest(eng.images.current_snapshot_id())
+    assert files1 <= {f["path"] for f in m2["files"]}, "old files never rewritten"
+    assert m2.get("deletes"), "matched re-crawl keys must land as a delete entry"
+    assert int(m2["summary"].get("matched", 0)) > 0
+    imgs = eng.images.read()
+    assert imgs.count() == n1, "MoR resolution: one row per image_id"
+    assert imgs.select("image_id").distinct().count() == n1
+    # the surviving rows are the NEW epoch's (epoch column advanced)
+    assert imgs.agg(F.min("epoch")).collect()[0][0] >= 1
+    # vacuum folds the delete entries once past the threshold
+    eng.vacuum(compact_deletes_after=1)
+    m3 = eng.images._load_manifest(eng.images.current_snapshot_id())
+    assert not m3.get("deletes")
+    assert eng.images.read().count() == n1
+
+
 def test_mor_rollback_window(spark, tmp_path):
     """Rolling back past a MoR merge restores the pre-merge view (deletes
     are manifest-scoped)."""
