@@ -109,6 +109,7 @@ class CrawlEngine:
         robots_ttl_epochs: int | None = None,
         ranking_window_rows: int = 100_000,
         bloom_rebuild_fill: float = 0.5,
+        payload_key_gate: str = "bloom",
     ):
         """``fetch_salting``: 0 (default, strict mode) partitions the fetch
         stage by host only — per-host politeness pacing is globally correct,
@@ -199,6 +200,49 @@ class CrawlEngine:
             if os.path.exists(os.path.join(bp, "_meta.json"))
             else BloomShards.create(bp, n_shards=bloom_shards, m_bits=bloom_bits, k=bloom_k)
         )
+        # Payload-key Blooms gate the zero-copy adopt's matched-key check:
+        # probing the batch keys against a maintained Bloom is O(batch),
+        # where the raw-key scan it replaces reads the key column of EVERY
+        # table file each epoch (the one remaining O(table) term the
+        # sustained campaign measured — c_images/c_records stepping from
+        # 4/10 s on an empty store to ~19 s at 10^7 rows). Safety argument:
+        # a FALSE POSITIVE "matched" key merely lands in the equality-delete
+        # entry — every delete key comes from the batch, so its new row
+        # (file seq == delete seq) always survives, and with no older row
+        # the delete is a no-op. FALSE NEGATIVES cannot occur because every
+        # key ever committed to the table is added to the Bloom in the same
+        # commit member (and Blooms have no false negatives); keys from
+        # rolled-back epochs linger as harmless extra positives. String keys
+        # probe via xxhash64 — a 64-bit hash collision is just another
+        # conservative positive. ``payload_key_gate="scan"`` keeps the
+        # exact raw-key-scan gate (equivalence-tested).
+        if payload_key_gate not in ("bloom", "scan"):
+            raise ValueError(f"payload_key_gate must be 'bloom' or 'scan', got {payload_key_gate!r}")
+        self.payload_key_gate = payload_key_gate
+        self._payload_keyblooms: dict[str, BloomShards] = {}
+        for part, table, key in (
+            ("image", self.images, "image_id"),
+            ("record", self.records, "entity_id"),
+        ):
+            kp = os.path.join(self.workdir, f"keys_bloom_{part}")
+            if os.path.exists(os.path.join(kp, "_meta.json")):
+                kb = BloomShards(kp)
+            else:
+                kb = BloomShards.create(
+                    kp, n_shards=bloom_shards, m_bits=bloom_bits, k=bloom_k
+                )
+                if payload_key_gate == "bloom" and not table.is_empty():
+                    # legacy workdir (pre-keybloom engine): one-time rebuild
+                    # from the stored raw keys (superset incl. superseded —
+                    # extra positives are harmless, see above)
+                    kb.rebuild_spark(
+                        table.read_keys_raw().select(
+                            F.xxhash64(F.col(key)).alias("_kh")
+                        ),
+                        "_kh",
+                        m_bits_new=bloom_bits,
+                    )
+            self._payload_keyblooms[part] = kb
         if not os.path.exists(self._state_path()):
             self._record_state(0)
 
@@ -235,6 +279,21 @@ class CrawlEngine:
         p = os.path.join(self.workdir, "seen_cuckoo")
         return CuckooShards(p) if CuckooShards.exists(p) else None
 
+    def _maybe_rebuild_keybloom(
+        self, keybloom: "BloomShards", table: SnapTable, key: str
+    ) -> None:
+        """Saturation policy for a payload-key Bloom (same contract as the
+        seen-set Bloom): when the max shard fill crosses the threshold,
+        rebuild into a larger bit space from the table's durable raw keys —
+        the rare amortized O(table) pass that keeps the per-epoch probe
+        O(batch) forever. Superseded keys in the raw superset are harmless
+        extra positives."""
+        if keybloom.fill_ratio() > self.bloom_rebuild_fill:
+            keybloom.rebuild_spark(
+                table.read_keys_raw().select(F.xxhash64(F.col(key)).alias("_kh")),
+                "_kh",
+            )
+
     def _record_state(self, epoch: int) -> None:
         state = {
             "epoch": epoch,
@@ -242,6 +301,12 @@ class CrawlEngine:
                 n: getattr(self, n).current_snapshot_id() for n in self.TABLE_NAMES
             },
             "bloom_version": self.bloom.current_version(),
+            # informational: payload-key Blooms never roll back (extra keys
+            # are conservative positives; deletions never happen)
+            "payload_keybloom_versions": {
+                n: kb.current_version()
+                for n, kb in self._payload_keyblooms.items()
+            },
         }
         cf = self._seen_cuckoo()
         if cf is not None:
@@ -670,6 +735,8 @@ class CrawlEngine:
         def _payload_commit(
             table: SnapTable, part_dir: str, df_rows, key: str, n_rows: int
         ) -> None:
+            keybloom = self._payload_keyblooms.get(part_dir)
+            use_bloom = keybloom is not None and self.payload_key_gate == "bloom"
             src = os.path.join(staging, f"row_type={part_dir}")
             can_adopt = (not self.keep_staging) and n_rows > 0 and os.path.isdir(src)
             if can_adopt:
@@ -678,39 +745,63 @@ class CrawlEngine:
                     .select(key)
                     .distinct()
                 )
-                if distinct_new.count() == n_rows:
-                    # zero-copy adopt regardless of cross-epoch matches:
-                    # matched keys (conservative RAW-key superset — no MoR
-                    # resolution joins stacked onto the check) become an
-                    # equality-delete entry riding the same commit. Adopt
-                    # cost stays O(files) + one narrow key scan; it never
-                    # falls back just because a few keys recurred.
-                    files = [
-                        os.path.join(src, fn)
-                        for fn in os.listdir(src)
-                        if fn.endswith(".parquet")
-                    ]
-                    matched = None
-                    n_matched = 0
-                    if not table.is_empty():
-                        matched = distinct_new.join(
-                            table.read_keys_raw(), key, "left_semi"
-                        ).persist(StorageLevel.MEMORY_AND_DISK)
-                        n_matched = matched.count()
-                    try:
-                        table.adopt_files(
-                            files,
-                            summary={
-                                "epoch": epoch, "adopted": True,
-                                "matched": n_matched,
-                            },
-                            delete_keys_df=matched if n_matched else None,
-                        )
-                    finally:
-                        if matched is not None:
-                            matched.unpersist()
-                    payload_paths[part_dir] = "adopt"
-                    return
+                if use_bloom:
+                    # adopt RENAMES the staging files this plan reads, so
+                    # every post-adopt use (the Bloom add) must come from
+                    # the cache — persist is materialized by the count below
+                    distinct_new = distinct_new.withColumn(
+                        "_kh", F.xxhash64(F.col(key))
+                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    if distinct_new.count() == n_rows:
+                        # zero-copy adopt regardless of cross-epoch matches:
+                        # matched keys become an equality-delete entry riding
+                        # the same commit. Gate "bloom" (default) finds them
+                        # by probing the batch keys against the maintained
+                        # payload-key Bloom — O(batch), conservative superset
+                        # (false positives are harmless no-op deletes, see
+                        # __init__); gate "scan" is the exact raw-key-column
+                        # scan, which reads O(table files) every epoch.
+                        files = [
+                            os.path.join(src, fn)
+                            for fn in os.listdir(src)
+                            if fn.endswith(".parquet")
+                        ]
+                        matched = None
+                        n_matched = 0
+                        if not table.is_empty():
+                            if use_bloom:
+                                matched = (
+                                    keybloom.prefilter_spark(distinct_new, "_kh")
+                                    .filter(F.col("maybe_seen"))
+                                    .select(key)
+                                    .persist(StorageLevel.MEMORY_AND_DISK)
+                                )
+                            else:
+                                matched = distinct_new.join(
+                                    table.read_keys_raw(), key, "left_semi"
+                                ).persist(StorageLevel.MEMORY_AND_DISK)
+                            n_matched = matched.count()
+                        try:
+                            table.adopt_files(
+                                files,
+                                summary={
+                                    "epoch": epoch, "adopted": True,
+                                    "matched": n_matched,
+                                },
+                                delete_keys_df=matched if n_matched else None,
+                            )
+                        finally:
+                            if matched is not None:
+                                matched.unpersist()
+                        if use_bloom:
+                            keybloom.add_spark(distinct_new, "_kh")
+                            self._maybe_rebuild_keybloom(keybloom, table, key)
+                        payload_paths[part_dir] = "adopt"
+                        return
+                finally:
+                    if use_bloom:
+                        distinct_new.unpersist()
             # in-batch duplicate keys (genuine id collisions / repeated
             # content): MERGE-ON-READ upsert — append O(batch) + an
             # equality-delete entry; never an O(table) rewrite (refresh
@@ -720,6 +811,11 @@ class CrawlEngine:
                 df_rows, summary={"epoch": epoch, "mor": True}, dedupe=False,
                 mor=True, insert_direct=True,
             )
+            if use_bloom and n_rows > 0:
+                keybloom.add_spark(
+                    df_rows.select(F.xxhash64(F.col(key)).alias("_kh")), "_kh"
+                )
+                self._maybe_rebuild_keybloom(keybloom, table, key)
             payload_paths[part_dir] = "mor"
 
         def _c_images() -> None:

@@ -39,9 +39,9 @@ def _engine(spark, wd, **kw):
     )
 
 
-def _robots_job_count(spark) -> int:
+def _robots_job_ids(spark) -> set:
     tracker = spark.sparkContext.statusTracker()
-    return len(tracker.getJobIdsForGroup("robots"))
+    return set(tracker.getJobIdsForGroup("robots"))
 
 
 def test_steady_state_robots_plans_zero_jobs(spark, tmp_path):
@@ -52,13 +52,16 @@ def test_steady_state_robots_plans_zero_jobs(spark, tmp_path):
     eng.add_seed_df(synthetic_seed_df(spark, 3000, n_hosts=8))
     st0 = eng.run_epoch()
     assert st0["fetched"] > 0
-    jobs_after_e0 = _robots_job_count(spark)
-    assert jobs_after_e0 > 0, "epoch 0 must have submitted tagged robots jobs"
+    jobs_after_e0 = _robots_job_ids(spark)
+    assert jobs_after_e0, "epoch 0 must have submitted tagged robots jobs"
     sid0 = eng.robots.current_snapshot_id()
 
     st1 = eng.run_epoch()  # h0 remainder: same hosts, all cached
     assert st1["fetched"] > 0
-    assert _robots_job_count(spark) == jobs_after_e0, (
+    # compare ID SETS, not counts: the status store retains a bounded job
+    # history, so mid-suite eviction can shrink the group — only a NEW id
+    # would mean a robots job was planned
+    assert not (_robots_job_ids(spark) - jobs_after_e0), (
         "a steady-state epoch must plan ZERO robots jobs"
     )
     assert eng.robots.current_snapshot_id() == sid0

@@ -471,3 +471,122 @@ def test_availablenow_processingtime_timeout_boundary(spark, tmp_path):
     # the 2-event session closed by the 3h gap must be emitted correctly
     closed = [r for r in got if r["n_events"] == 2]
     assert len(closed) == 1 and closed[0]["total_value"] == 3.0
+
+
+# ---------- payload-key Bloom gate (round-5 follow-up: the last O(table)
+# term in the epoch commit — the adopt gate's raw-key scan — replaced by an
+# O(batch) Bloom probe whose false positives are provably harmless) ----------
+
+
+def _force_recrawl(eng):
+    """Wipe the seen set and mark done frontier rows pending again — the
+    engine then re-fetches the same URLs (identical image_ids/entity_ids)."""
+    eng.seen.merge(eng.seen.read().select("url_key"), delete=True, dedupe=False)
+    fr = eng.frontier.read().filter(F.col("state") == "done")
+    eng.frontier.merge(fr.withColumn("state", F.lit("pending")))
+
+
+def test_payload_key_gate_bloom_scan_equivalent(spark, tmp_path):
+    """The Bloom gate and the exact raw-scan gate produce identical table
+    contents through a fresh epoch + a full forced re-crawl."""
+    results = {}
+    for gate in ("bloom", "scan"):
+        eng = _engine(
+            spark, tmp_path / f"eq_{gate}", per_host_budget=10**9,
+            fetch_salting=2, payload_key_gate=gate,
+        )
+        eng.add_seed_df(synthetic_seed_df(spark, 300, n_hosts=8))
+        eng.run_epoch()
+        _force_recrawl(eng)
+        st = eng.run_epoch()
+        assert st["payload_paths"].get("image") == "adopt"
+        m = eng.images._load_manifest(eng.images.current_snapshot_id())
+        assert int(m["summary"].get("matched", 0)) > 0, gate
+        results[gate] = {
+            "images": sorted(
+                (r["image_id"], r["epoch"], r["phash"])
+                for r in eng.images.read().collect()
+            ),
+            "records": sorted(
+                (r["entity_id"], r["epoch"])
+                for r in eng.records.read().collect()
+            ),
+        }
+    assert results["bloom"] == results["scan"]
+
+
+def test_keybloom_false_positives_harmless(spark, tmp_path):
+    """A saturated (tiny) payload-key Bloom marks nearly every NEW key as
+    'matched' — the spurious equality-delete keys must be no-ops: reads
+    stay exact across epochs of disjoint URLs."""
+    eng = _engine(
+        spark, tmp_path / "fp", per_host_budget=10**9, fetch_salting=2,
+        bloom_bits=1 << 7,           # saturates after the first epoch
+        bloom_rebuild_fill=1.01,     # never rebuild: keep the FPR high
+    )
+    eng.add_seed_df(synthetic_seed_df(spark, 300, n_hosts=8))
+    eng.run_epoch()
+    n1 = eng.images.read().count()
+    kb = eng._payload_keyblooms["image"]
+    assert kb.fill_ratio() > 0.5, "test premise: the keybloom must be saturated"
+    eng.add_seed_df(synthetic_seed_df(spark, 300, n_hosts=8, start_id=300))
+    st = eng.run_epoch()
+    assert st["fetched"] > 0
+    m = eng.images._load_manifest(eng.images.current_snapshot_id())
+    if st["payload_paths"].get("image") == "adopt":
+        # disjoint batch, saturated Bloom: matches are (almost) all FPs
+        assert int(m["summary"].get("matched", 0)) > 0
+    imgs = eng.images.read()
+    n2 = imgs.count()
+    assert n2 > n1, "second epoch's rows must all survive the spurious deletes"
+    assert imgs.select("image_id").distinct().count() == n2
+
+
+def test_keybloom_legacy_workdir_rebuilds(spark, tmp_path):
+    """Opening a pre-keybloom workdir (tables populated, no keys_bloom_*
+    dirs) rebuilds the Blooms from the stored raw keys — a forced re-crawl
+    then still detects its matches and reads stay duplicate-free."""
+    import shutil
+
+    wd = tmp_path / "legacy"
+    eng = _engine(spark, wd, per_host_budget=10**9, fetch_salting=2)
+    eng.add_seed_df(synthetic_seed_df(spark, 300, n_hosts=8))
+    eng.run_epoch()
+    n1 = eng.images.read().count()
+    for part in ("image", "record"):
+        shutil.rmtree(os.path.join(str(wd), f"keys_bloom_{part}"))
+    eng2 = _engine(spark, wd, per_host_budget=10**9, fetch_salting=2)
+    assert eng2._payload_keyblooms["image"].fill_ratio() > 0, "rebuilt from table"
+    _force_recrawl(eng2)
+    st = eng2.run_epoch()
+    assert st["payload_paths"].get("image") == "adopt"
+    m = eng2.images._load_manifest(eng2.images.current_snapshot_id())
+    assert int(m["summary"].get("matched", 0)) > 0, (
+        "a missed match here would mean a false negative -> duplicate rows"
+    )
+    imgs = eng2.images.read()
+    assert imgs.count() == n1
+    assert imgs.select("image_id").distinct().count() == n1
+
+
+def test_keybloom_saturation_rebuild_engine_wired(spark, tmp_path):
+    """Past the fill threshold the payload-key Bloom re-sizes itself from
+    the table's durable keys at the epoch commit (same contract as the
+    seen-set Bloom), and match detection stays exact afterwards."""
+    eng = _engine(
+        spark, tmp_path / "sat", per_host_budget=10**9, fetch_salting=2,
+        bloom_bits=1 << 9,
+    )
+    eng.add_seed_df(synthetic_seed_df(spark, 300, n_hosts=8))
+    eng.run_epoch()
+    kb = eng._payload_keyblooms["image"]
+    v = kb.current_version()
+    assert kb.m_bits_of(v) > (1 << 9), "rebuild must have grown the bit space"
+    assert kb.fill_ratio() <= 0.5
+    n1 = eng.images.read().count()
+    _force_recrawl(eng)
+    st = eng.run_epoch()
+    assert st["payload_paths"].get("image") == "adopt"
+    imgs = eng.images.read()
+    assert imgs.count() == n1
+    assert imgs.select("image_id").distinct().count() == n1
