@@ -110,6 +110,7 @@ class CrawlEngine:
         ranking_window_rows: int = 100_000,
         bloom_rebuild_fill: float = 0.5,
         payload_key_gate: str = "bloom",
+        payload_patch: bool = True,
     ):
         """``fetch_salting``: 0 (default, strict mode) partitions the fetch
         stage by host only — per-host politeness pacing is globally correct,
@@ -219,6 +220,12 @@ class CrawlEngine:
         if payload_key_gate not in ("bloom", "scan"):
             raise ValueError(f"payload_key_gate must be 'bloom' or 'scan', got {payload_key_gate!r}")
         self.payload_key_gate = payload_key_gate
+        # ``payload_patch``: a batch with a handful of in-batch duplicate
+        # keys still takes the zero-copy adopt — the duplicated keys' rows
+        # (alone) are re-written as a tiny merge-on-read PATCH commit whose
+        # higher-seq equality-delete entry supersedes the adopted copies.
+        # False restores the full-batch MoR fallback (A/B attribution).
+        self.payload_patch = payload_patch
         self._payload_keyblooms: dict[str, BloomShards] = {}
         for part, table, key in (
             ("image", self.images, "image_id"),
@@ -740,20 +747,48 @@ class CrawlEngine:
             src = os.path.join(staging, f"row_type={part_dir}")
             can_adopt = (not self.keep_staging) and n_rows > 0 and os.path.isdir(src)
             if can_adopt:
-                distinct_new = (
+                # ONE narrow key job yields the distinct count AND the
+                # in-batch duplicate keys (the old path computed only the
+                # distinct count from the same shuffle).
+                cnt = (
                     fetched.filter(F.col("row_type") == part_dir)
-                    .select(key)
-                    .distinct()
+                    .groupBy(key)
+                    .agg(F.count(F.lit(1)).alias("_n"))
                 )
                 if use_bloom:
-                    # adopt RENAMES the staging files this plan reads, so
-                    # every post-adopt use (the Bloom add) must come from
-                    # the cache — persist is materialized by the count below
-                    distinct_new = distinct_new.withColumn(
-                        "_kh", F.xxhash64(F.col(key))
-                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                    cnt = cnt.withColumn("_kh", F.xxhash64(F.col(key)))
+                # adopt RENAMES the staging files this plan reads, so every
+                # post-adopt use (dup keys, the Bloom add) must come from
+                # the cache — persist is materialized by the agg below
+                cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
+                patch_rows = None
                 try:
-                    if distinct_new.count() == n_rows:
+                    agg = cnt.agg(
+                        F.count(F.lit(1)).alias("_nd"),
+                        F.coalesce(
+                            F.sum((F.col("_n") > 1).cast("long")), F.lit(0)
+                        ).alias("_ndup"),
+                    ).first()
+                    n_dist, n_dup = int(agg["_nd"]), int(agg["_ndup"])
+                    if n_dist < n_rows and self.payload_patch:
+                        # ADOPT + PATCH: a few in-batch duplicate keys must
+                        # not force a full-batch byte rewrite (the sustained
+                        # campaign measured the MoR fallback at 2-3x the
+                        # adopt commit: it re-writes the whole image payload
+                        # because ~100 of ~10^6 keys collided). Materialize
+                        # the duplicated keys' rows — already key-distinct
+                        # via df_rows' dropDuplicates — BEFORE the rename;
+                        # after the adopt they become a tiny MoR commit
+                        # whose higher-seq equality-delete entry supersedes
+                        # every adopted copy of those keys. Payload written:
+                        # O(n_dup) instead of O(batch); the dead adopted
+                        # copies fold out at the vacuum/compaction cadence.
+                        dup_keys = cnt.filter(F.col("_n") > 1).select(key)
+                        patch_rows = df_rows.join(
+                            F.broadcast(dup_keys), key, "left_semi"
+                        ).persist(StorageLevel.MEMORY_AND_DISK)
+                        patch_rows.count()  # materialize before the rename
+                    if n_dist == n_rows or patch_rows is not None:
                         # zero-copy adopt regardless of cross-epoch matches:
                         # matched keys become an equality-delete entry riding
                         # the same commit. Gate "bloom" (default) finds them
@@ -772,13 +807,13 @@ class CrawlEngine:
                         if not table.is_empty():
                             if use_bloom:
                                 matched = (
-                                    keybloom.prefilter_spark(distinct_new, "_kh")
+                                    keybloom.prefilter_spark(cnt, "_kh")
                                     .filter(F.col("maybe_seen"))
                                     .select(key)
                                     .persist(StorageLevel.MEMORY_AND_DISK)
                                 )
                             else:
-                                matched = distinct_new.join(
+                                matched = cnt.select(key).join(
                                     table.read_keys_raw(), key, "left_semi"
                                 ).persist(StorageLevel.MEMORY_AND_DISK)
                             n_matched = matched.count()
@@ -787,26 +822,37 @@ class CrawlEngine:
                                 files,
                                 summary={
                                     "epoch": epoch, "adopted": True,
-                                    "matched": n_matched,
+                                    "matched": n_matched, "patched": n_dup,
                                 },
                                 delete_keys_df=matched if n_matched else None,
                             )
                         finally:
                             if matched is not None:
                                 matched.unpersist()
+                        if patch_rows is not None:
+                            table.merge(
+                                patch_rows,
+                                summary={
+                                    "epoch": epoch, "mor": True, "patch": True,
+                                },
+                                dedupe=False, mor=True, insert_direct=True,
+                            )
                         if use_bloom:
-                            keybloom.add_spark(distinct_new, "_kh")
+                            keybloom.add_spark(cnt, "_kh")
                             self._maybe_rebuild_keybloom(keybloom, table, key)
-                        payload_paths[part_dir] = "adopt"
+                        payload_paths[part_dir] = (
+                            "adopt" if patch_rows is None else "adopt_patch"
+                        )
                         return
                 finally:
-                    if use_bloom:
-                        distinct_new.unpersist()
-            # in-batch duplicate keys (genuine id collisions / repeated
-            # content): MERGE-ON-READ upsert — append O(batch) + an
-            # equality-delete entry; never an O(table) rewrite (refresh
-            # crawls re-crawl whole epochs). The read tax is folded back by
-            # the vacuum compaction cadence.
+                    cnt.unpersist()
+                    if patch_rows is not None:
+                        patch_rows.unpersist()
+            # fallback (payload_patch=False, keep_staging, or empty batch):
+            # in-batch duplicate keys take the full-batch MERGE-ON-READ
+            # upsert — append O(batch) + an equality-delete entry; never an
+            # O(table) rewrite (refresh crawls re-crawl whole epochs). The
+            # read tax is folded back by the vacuum compaction cadence.
             table.merge(
                 df_rows, summary={"epoch": epoch, "mor": True}, dedupe=False,
                 mor=True, insert_direct=True,

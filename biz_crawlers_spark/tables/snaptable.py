@@ -837,7 +837,16 @@ class SnapTable:
         equality-delete entry at this sequence (merge-on-read), so adopt
         stays an O(files)+O(matched) commit even when the batch collides
         with existing keys. Contract (1) relaxes accordingly: matched keys
-        must all be in ``delete_keys_df``."""
+        must all be in ``delete_keys_df``.
+
+        Contract (2) relaxes for the engine's ADOPT+PATCH pattern: a batch
+        MAY contain in-batch duplicate keys IF the caller immediately
+        follows the adopt with a ``merge(..., mor=True)`` of exactly one
+        surviving row per duplicated key — that merge's HIGHER-seq
+        equality-delete entry supersedes every adopted copy, so reads stay
+        key-distinct while the payload rewrite is O(duplicated keys), not
+        O(batch). Without the follow-up commit, duplicate adopted keys
+        would both survive reads."""
         import shutil as _sh
 
         parent = self.current_snapshot_id()

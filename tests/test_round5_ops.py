@@ -590,3 +590,114 @@ def test_keybloom_saturation_rebuild_engine_wired(spark, tmp_path):
     imgs = eng.images.read()
     assert imgs.count() == n1
     assert imgs.select("image_id").distinct().count() == n1
+
+
+# ---------- adopt+patch (round-5 follow-up: a handful of in-batch
+# duplicate keys must not force a full-batch MoR byte rewrite — Campaign B3
+# measured the image-MoR epochs at 2-3x the adopt commit wall) ----------
+
+# Synthetic-grammar ids whose URLs are distinct but share entity_id
+# 67474880 (found by deterministic driver-side search over the same
+# grammar; verified in-test) — the smallest reproducible in-batch
+# duplicate-key batch.
+_COLLIDING_IDS = (14519, 30421)
+
+
+def _collision_seed(spark):
+    df = synthetic_seed_df(spark, 200, n_hosts=8)
+    for i in _COLLIDING_IDS:
+        df = df.unionByName(synthetic_seed_df(spark, 1, n_hosts=8, start_id=i))
+    return df
+
+
+def test_adopt_patch_table_contract(spark, tmp_path):
+    """adopt_files with in-batch duplicate keys + the follow-up MoR patch
+    commit reads key-distinct with the patch row winning; rolling back to
+    the pre-adopt snapshot restores the original table exactly."""
+    t = SnapTable.create(
+        spark, str(tmp_path / "ap"), "k long, v int", ["k"], n_buckets=2
+    )
+    t.overwrite(spark.createDataFrame([(1, 0)], "k long, v int"))
+    sid0 = t.current_snapshot_id()
+    stage = str(tmp_path / "ap_stage")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (3, 30)], "k long, v int"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    files = [
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    ]
+    # key 1 matches the stored table (cross-epoch delete entry); key 2 is
+    # the in-batch duplicate the patch supersedes
+    t.adopt_files(
+        files, summary={"patched": 1},
+        delete_keys_df=spark.createDataFrame([(1,)], "k long"),
+    )
+    t.merge(
+        spark.createDataFrame([(2, 21)], "k long, v int"),
+        dedupe=False, mor=True, insert_direct=True,
+    )
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 10, 2: 21, 3: 30}
+    assert t.read().count() == 3
+    t.rollback(sid0)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 0}
+
+
+def test_adopt_patch_engine_equivalence(spark, tmp_path):
+    """payload_patch=True (adopt + O(dup) patch commit) and =False (full
+    MoR fallback) produce identical record tables on a batch with one
+    in-batch duplicate entity_id."""
+    from biz_crawlers_spark.fixtures.web import FixtureWeb
+
+    web = FixtureWeb(seed=42, n_hosts=8, max_images_per_page=1)
+    urls = [
+        synthetic_seed_df(spark, 1, n_hosts=8, start_id=i).first()["canonical_url"]
+        for i in _COLLIDING_IDS
+    ]
+    assert urls[0] != urls[1]
+    assert web.entity_for(urls[0])[0] == web.entity_for(urls[1])[0]
+    assert all(web.classify(u) == "ok" for u in urls)
+
+    results = {}
+    for patch in (True, False):
+        eng = _engine(
+            spark, tmp_path / f"ap_{patch}", per_host_budget=10**9,
+            fetch_salting=2, payload_patch=patch,
+        )
+        eng.add_seed_df(_collision_seed(spark))
+        st = eng.run_epoch()
+        assert st["payload_paths"]["record"] == (
+            "adopt_patch" if patch else "mor"
+        )
+        recs = eng.records.read()
+        n = recs.count()
+        assert recs.select("entity_id").distinct().count() == n
+        if patch:
+            # the adopt commit precedes the patch commit; its summary
+            # counts the duplicated keys
+            m = eng.records._load_manifest(eng.records.current_snapshot_id() - 1)
+            assert int(m["summary"].get("patched", 0)) >= 1
+        results[patch] = sorted(
+            (r["entity_id"], r["epoch"]) for r in recs.collect()
+        )
+    assert results[True] == results[False]
+
+
+def test_adopt_patch_with_recrawl_matches(spark, tmp_path):
+    """A forced full re-crawl of a duplicate-bearing batch exercises the
+    patch path and the cross-epoch matched-delete entry in ONE commit:
+    reads stay key-distinct, every key's winner is the re-crawled row."""
+    eng = _engine(
+        spark, tmp_path / "apm", per_host_budget=10**9, fetch_salting=2
+    )
+    eng.add_seed_df(_collision_seed(spark))
+    st0 = eng.run_epoch()
+    assert st0["payload_paths"]["record"] == "adopt_patch"
+    n1 = eng.records.read().count()
+    _force_recrawl(eng)
+    st = eng.run_epoch()
+    assert st["payload_paths"]["record"] == "adopt_patch"
+    recs = eng.records.read()
+    assert recs.count() == n1
+    assert recs.select("entity_id").distinct().count() == n1
+    e_max = recs.agg(F.max("epoch")).first()[0]
+    assert recs.filter(F.col("epoch") == e_max).count() == n1
