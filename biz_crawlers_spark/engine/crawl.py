@@ -803,19 +803,25 @@ class CrawlEngine:
                             if fn.endswith(".parquet")
                         ]
                         matched = None
+                        gate = None
                         n_matched = 0
-                        if not table.is_empty():
-                            if use_bloom:
-                                matched = (
-                                    keybloom.prefilter_spark(cnt, "_kh")
-                                    .filter(F.col("maybe_seen"))
-                                    .select(key)
-                                    .persist(StorageLevel.MEMORY_AND_DISK)
-                                )
-                            else:
-                                matched = cnt.select(key).join(
-                                    table.read_keys_raw(), key, "left_semi"
-                                ).persist(StorageLevel.MEMORY_AND_DISK)
+                        if use_bloom:
+                            # FUSED probe+insert: one shard shuffle yields
+                            # the matched-key membership test AND the Bloom
+                            # add that used to be a second full-batch
+                            # shuffle after the adopt. The add landing even
+                            # if a later step aborts the epoch is the
+                            # documented harmless-lingering-positive case.
+                            gate = keybloom.check_add_spark(cnt, "_kh")
+                            if not table.is_empty():
+                                matched = gate.filter(
+                                    F.col("maybe_seen")
+                                ).select(key)
+                                n_matched = matched.count()
+                        elif not table.is_empty():
+                            matched = cnt.select(key).join(
+                                table.read_keys_raw(), key, "left_semi"
+                            ).persist(StorageLevel.MEMORY_AND_DISK)
                             n_matched = matched.count()
                         try:
                             table.adopt_files(
@@ -827,7 +833,9 @@ class CrawlEngine:
                                 delete_keys_df=matched if n_matched else None,
                             )
                         finally:
-                            if matched is not None:
+                            if gate is not None:
+                                gate.unpersist()
+                            elif matched is not None:
                                 matched.unpersist()
                         if patch_rows is not None:
                             table.merge(
@@ -838,7 +846,6 @@ class CrawlEngine:
                                 dedupe=False, mor=True, insert_direct=True,
                             )
                         if use_bloom:
-                            keybloom.add_spark(cnt, "_kh")
                             self._maybe_rebuild_keybloom(keybloom, table, key)
                         payload_paths[part_dir] = (
                             "adopt" if patch_rows is None else "adopt_patch"

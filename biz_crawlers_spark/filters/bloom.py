@@ -336,6 +336,86 @@ class BloomShards:
             lambda key, pdf: _check(pdf), schema=schema
         )
 
+    def check_add_spark(self, df: DataFrame, key_col: str = "url_key") -> DataFrame:
+        """Fused membership-test + insert in ONE shard shuffle: each task
+        loads its shard's bits, records every key's membership BEFORE the
+        insert, sets the key's bits, and writes the shard into version v+1
+        — the work of ``prefilter_spark`` + ``add_spark`` for the price of
+        one shuffle and one bitmap pass (the payload-commit gate probes and
+        then inserts the SAME keys every epoch).
+
+        Returns a PERSISTED DataFrame of the input rows + boolean
+        ``maybe_seen`` (membership at the OLD version; the caller
+        unpersists). The new version's pointer is committed before this
+        returns, so the result must only be read from the cache. Task
+        retries are safe: membership is computed from the immutable old
+        version and the bit-set/tmp-replace write is idempotent."""
+        from pyspark.storagelevel import StorageLevel
+
+        path, k, n_shards = self.path, self.k, self.n_shards
+        ver = self.current_version()
+        m_bits = self.m_bits_of(ver)
+        new = ver + 1
+        os.makedirs(os.path.join(path, f"v{new}"), exist_ok=True)
+        cols = df.columns
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("maybe_seen", T.BooleanType()),
+                T.StructField("_shard_id", T.IntegerType()),
+                T.StructField("_shard_ones", T.LongType()),
+            ]
+        )
+
+        def _check_add(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            s = int(keys[0] % n_shards)
+            s = s + n_shards if s < 0 else s
+            bits = np.load(os.path.join(path, f"v{ver}", f"shard-{s}.npy")).copy()
+            pos = _positions(keys, k, m_bits)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            tmp = os.path.join(path, f"v{new}", f".tmp-{uuid.uuid4().hex}-shard-{s}.npy")
+            np.save(tmp, bits)
+            os.replace(tmp, os.path.join(path, f"v{new}", f"shard-{s}.npy"))
+            out = pdf[cols].copy()
+            out["maybe_seen"] = hit.all(axis=1)
+            out["_shard_id"] = s
+            out["_shard_ones"] = int(np.unpackbits(bits).sum())
+            return out
+
+        shard_col = F.pmod(F.col(key_col), F.lit(n_shards))
+        out = (
+            df.groupBy(shard_col.alias("_shard"))
+            .applyInPandas(lambda key, pdf: _check_add(pdf), schema=schema)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # this collect MATERIALIZES the cache — the side-effecting tasks run
+        # exactly once; everything after reads the cached rows
+        touched = (
+            out.groupBy("_shard_id").agg(F.max("_shard_ones").alias("ones")).collect()
+        )
+        fills = {
+            int(s): int(v)
+            for s, v in self._read_vmeta(ver).get("fills", {}).items()
+        }
+        touched_set = set()
+        for r in touched:
+            fills[int(r["_shard_id"])] = int(r["ones"])
+            touched_set.add(int(r["_shard_id"]))
+        for s in range(n_shards):
+            if s not in touched_set:
+                src, dst = self._shard_file(ver, s), self._shard_file(new, s)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copyfile(src, dst)
+        self._write_vmeta(new, m_bits, fills)
+        self._write_pointer(self.path, new)
+        # the PERSISTED node itself is returned (unpersist works on it);
+        # callers ignore the _shard_* bookkeeping columns
+        return out
+
     def add_spark(self, df: DataFrame, key_col: str = "url_key") -> int:
         """Distributed insert: shuffle keys to their shard, each task rewrites
         exactly one shard file into version v+1; untouched shards hardlinked;

@@ -701,3 +701,24 @@ def test_adopt_patch_with_recrawl_matches(spark, tmp_path):
     assert recs.select("entity_id").distinct().count() == n1
     e_max = recs.agg(F.max("epoch")).first()[0]
     assert recs.filter(F.col("epoch") == e_max).count() == n1
+
+
+def test_check_add_spark_equivalent(spark, tmp_path):
+    """check_add_spark == prefilter_spark (membership before insert) +
+    add_spark (final bit state, fills, version) in ONE pass."""
+    a = BloomShards.create(str(tmp_path / "ba"), n_shards=4, m_bits=1 << 14, k=5)
+    b = BloomShards.create(str(tmp_path / "bb"), n_shards=4, m_bits=1 << 14, k=5)
+    base = spark.createDataFrame([(k,) for k in range(100, 200)], "url_key long")
+    a.add_spark(base)
+    b.add_spark(base)
+    probe = spark.createDataFrame([(k,) for k in range(150, 250)], "url_key long")
+    exp = {r["url_key"]: r["maybe_seen"] for r in a.prefilter_spark(probe).collect()}
+    a.add_spark(probe)
+    gate = b.check_add_spark(probe)
+    got = {r["url_key"]: r["maybe_seen"] for r in gate.collect()}
+    gate.unpersist()
+    assert got == exp
+    assert a.current_version() == b.current_version()
+    all_keys = np.arange(100, 250)
+    assert bool(a.contains(all_keys).all()) and bool(b.contains(all_keys).all())
+    assert abs(a.fill_ratio() - b.fill_ratio()) < 1e-12
