@@ -329,8 +329,10 @@ class CrawlEngine:
         """MERGE seeds insert-only: re-seeding never resets done/failed rows
         (the reference's cross-run dedup-before-fetch, D2). ``mostly_new``:
         fresh seeds (the long-campaign steady state) take the pure-append
-        path — seeding cost is O(seeds), never O(frontier history); re-seeds
-        of known URLs still overlay with prefer='old' (no reset)."""
+        path — O(seeds) WRITES plus one narrow O(table-files) key-column
+        scan for matched-key discovery (seeds may match any frontier state,
+        so no source_parts pruning applies; ADVICE r5 — the earlier
+        'never O(frontier history)' claim overstated this)."""
         self.frontier.merge(
             df, prefer="old", summary={"op": "seed"}, mostly_new=True
         )
@@ -847,6 +849,18 @@ class CrawlEngine:
                             )
                         if use_bloom:
                             self._maybe_rebuild_keybloom(keybloom, table, key)
+                        elif keybloom is not None:
+                            # scan-mode epochs must still MAINTAIN the Bloom
+                            # (ADVICE r5): a later reopen with the default
+                            # 'bloom' gate loads this file, and a key the
+                            # scan-mode commit skipped would be a false
+                            # negative — breaking the no-FN safety argument
+                            keybloom.add_spark(
+                                cnt.select(
+                                    F.xxhash64(F.col(key)).alias("_kh")
+                                ),
+                                "_kh",
+                            )
                         payload_paths[part_dir] = (
                             "adopt" if patch_rows is None else "adopt_patch"
                         )
@@ -864,11 +878,15 @@ class CrawlEngine:
                 df_rows, summary={"epoch": epoch, "mor": True}, dedupe=False,
                 mor=True, insert_direct=True,
             )
-            if use_bloom and n_rows > 0:
+            # the Bloom is maintained in BOTH gate modes (ADVICE r5): scan
+            # mode merely doesn't probe it, but it must stay a superset of
+            # committed keys for any later bloom-gated epoch
+            if keybloom is not None and n_rows > 0:
                 keybloom.add_spark(
                     df_rows.select(F.xxhash64(F.col(key)).alias("_kh")), "_kh"
                 )
-                self._maybe_rebuild_keybloom(keybloom, table, key)
+                if use_bloom:
+                    self._maybe_rebuild_keybloom(keybloom, table, key)
             payload_paths[part_dir] = "mor"
 
         def _c_images() -> None:
@@ -1262,6 +1280,15 @@ class CrawlEngine:
         for name in self.TABLE_NAMES:
             stats[name] = getattr(self, name).expire_snapshots(keep_last=keep_last)
         stats["bloom_versions_removed"] = self.bloom.expire_versions(keep_last)
+        # payload-key Blooms version per touched epoch like the seen Bloom
+        # but were never expired (ADVICE r5) — unbounded keys_bloom_* growth
+        # over a sustained campaign. They never roll back (extra positives
+        # are conservative), so the rollback-window floor is not needed;
+        # keep_last is still honored for uniform time-travel debugging.
+        stats["payload_keybloom_versions_removed"] = {
+            part: kb.expire_versions(keep_last)
+            for part, kb in self._payload_keyblooms.items()
+        }
         cf = self._seen_cuckoo()
         if cf is not None:
             stats["cuckoo_versions_removed"] = cf.expire_versions(keep_last)

@@ -119,6 +119,15 @@ def _decode_figures(body: bytes, url_key: int, host: str) -> list[dict]:
     return rows
 
 
+def _raise_on_json_constant(_v):
+    # strictness twin of Spark's try_parse_json, which rejects the
+    # non-standard NaN/Infinity/-Infinity tokens that Python's json module
+    # accepts by default (ADVICE r5): without this, an adopted staging file
+    # would carry corrupt=false where the merge fallback computes
+    # corrupt=true and the D7 invalidation probe would miss the record
+    raise ValueError("non-standard JSON constant")
+
+
 def _record_corrupt(biz_items) -> bool:
     """Python twin of frontier.seed.RECORDS_CORRUPT_EXPR
     (``biz_items IS NOT NULL AND try_parse_json(biz_items) IS NULL``) so
@@ -128,7 +137,7 @@ def _record_corrupt(biz_items) -> bool:
     if biz_items is None:
         return False
     try:
-        json.loads(biz_items)
+        json.loads(biz_items, parse_constant=_raise_on_json_constant)
         return False
     except ValueError:
         return True

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biz_crawlers_spark.filters.bloom import splitmix64
@@ -39,6 +39,15 @@ JACCARD_T = 0.5
 MINHASH_K = 64
 LSH_BANDS = 16  # 16 bands × 4 rows
 COSINE_T = 0.45  # sf0.01 embeddings have no true near-dups; 0.45 exercises the path
+
+# Dense-vocabulary regime cap for the exact-Jaccard bitmap strategy: with V
+# distinct shingles per corpus, every doc is a V-bit set and block-pair
+# popcount-GEMM computes ALL pairwise intersections exactly. 16384 keeps
+# a float32 GEMM exact (counts ≪ 2^24) and an unpacked block ≤ tens of MB.
+DENSE_VOCAB_MAX = 16384
+# docs per bitmap block: n² GEMM work per block pair; 1024 gives ~4 GFLOP
+# per pair at V=2048 (sub-second per task) and ≥90 pairs at bench scale
+DENSE_BLOCK_DOCS = 1024
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +61,14 @@ def _norm_text() -> F.Column:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash: every doc mapped to the
     canonical (min doc_id) member of its content group."""
-    d = _docs(spark, sf_dir).select("doc_id", F.md5(_norm_text()).alias("content_fp"))
+    # spread the single-row-group scan before the md5/regex projection so
+    # the hashing runs on all cores, not in the one scan task (guide §2.5)
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _docs(spark, sf_dir)
+        .repartition(par, "doc_id")
+        .select("doc_id", F.md5(_norm_text()).alias("content_fp"))
+    )
     canon = d.groupBy("content_fp").agg(F.min("doc_id").alias("canonical_id"))
     return (
         d.join(canon, "content_fp")
@@ -75,12 +91,18 @@ def _shingles_df(
     inside the lambda makes Catalyst re-evaluate the regexp_replace once per
     gram element (~200× per doc — measured 18 s of pure regexp at sf0.1);
     the exchange pins ``norm`` as a physical column so each substr reads a
-    computed value. Doubles as the parallelism spreader for the small
-    single-partition parquet input."""
+    computed value.
+
+    r06: the raw (doc_id, text) rows are additionally spread BEFORE the norm
+    projection — the documents parquet is a single row group, so without the
+    first exchange the regexp_replace over the whole corpus ran in ONE scan
+    task (guide §2.5 input skew / §6 split size); the second exchange is the
+    norm-pinning barrier described above. Both move only ~15 MB at sf1.0."""
     par = spark.sparkContext.defaultParallelism
-    d = _docs(spark, sf_dir).select("doc_id", _norm_text().alias("norm"))
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     if sample_mod:
         d = d.filter(F.col("doc_id") % sample_mod == 0)
+    d = d.repartition(par, "doc_id").select("doc_id", _norm_text().alias("norm"))
     d = d.repartition(par, "doc_id")
     norm = F.col("norm")
     grams = F.array_distinct(
@@ -96,15 +118,202 @@ def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T,
     sample_mod: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join
-    with a LENGTH FILTER fused into the join condition (J ≥ t requires
-    t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so |B| ≥ t·|A| and vice versa —
-    pairs failing it never enter the pair-count aggregation). Intersection
-    counts come from the groupBy over co-postings, which Spark partial-
-    aggregates map-side — measured the fastest exact strategy on this corpus
-    at EVERY threshold (see dedup_ngram_jaccard_prefix for why the PPJOIN
-    variant cannot prune a uniformly-hot shingle distribution)."""
+    """Exact n-gram Jaccard pairs ≥ threshold. Output contract (identical to
+    the DuckDB oracle): all (id_a < id_b) pairs with round(|A∩B| /
+    (|A|+|B|−|A∩B|), 6) ≥ threshold, ordered by (id_a, id_b).
+
+    Two exact strategies, picked by the measured shingle vocabulary:
+
+    - DENSE regime (V ≤ DENSE_VOCAB_MAX distinct shingles): every doc is a
+      V-bit set, so blocked bitmap popcount-GEMM computes every pairwise
+      intersection exactly in O(n²·V/w) vector work with NO co-posting
+      shuffle at all. The former inverted-index count-join exploded to
+      sum(df²)/2 ≈ 4.8×10⁹ intermediate rows at sf1.0 (quarter slice: 12.5k
+      docs, V=2041, max df 9705) — 210-290 s; the GEMM does the same exact
+      arithmetic as ~10¹¹ flops of float32 BLAS in a handful of seconds
+      (guide §1.2: fix the distributed algorithm before the configuration).
+    - SPARSE regime (rare-tail vocabulary, V > cap): the inverted-index
+      count-join below — co-posting lists are short when no shingle is hot,
+      which is exactly when the bitmap width would explode.
+
+    Both are exact; the oracle cannot tell them apart."""
     sh = _shingles_df(spark, sf_dir, sample_mod)
+    # Regime probe WITHOUT explode: when the grams column's only consumer is
+    # the generator, Catalyst collapses the shingle transform INTO
+    # Generate(explode(...)), which re-evaluates it per emitted element —
+    # measured 29 s for a bare sh.select(explode("grams")) at sf1.0 vs 0.6 s
+    # for materializing the arrays. One vectorized per-partition set union
+    # gives the vocabulary instead. Sparse-regime guard: a partition that
+    # would emit more than DENSE_VOCAB_MAX+1 grams truncates (its grams are
+    # distinct within the partition, so the global count already exceeds the
+    # cap — classification is unaffected and the dense path never sees a
+    # truncated vocabulary). The collect is bounded by partitions×(cap+1).
+    cap = DENSE_VOCAB_MAX + 1
+
+    def _part_vocab(it):
+        from itertools import islice
+
+        s: set = set()
+        for pdf in it:
+            for grams in pdf["grams"]:
+                s.update(grams)
+        yield pd.DataFrame({"g": list(islice(iter(s), cap))})
+
+    vocab = [
+        r[0]
+        for r in sh.select("grams")
+        .mapInPandas(_part_vocab, "g string")
+        .distinct()
+        .collect()
+    ]
+    if len(vocab) <= DENSE_VOCAB_MAX:
+        return _jaccard_dense(spark, sh, sorted(vocab), threshold)
+    return _jaccard_countjoin(sh, threshold)
+
+
+def _jaccard_dense(
+    spark: SparkSession, sh: DataFrame, vocab: list[str], threshold: float
+) -> DataFrame:
+    """Blocked bitmap GEMM for the dense-vocabulary regime (see
+    dedup_ngram_jaccard). Docs are ranked by (n_grams, doc_id) and cut into
+    blocks of DENSE_BLOCK_DOCS; each block is packed into one row holding a
+    packbits bitmap over the shared vocabulary. Block pairs are pruned with
+    the interval form of the length filter (a pair with J ≥ t needs
+    t·|B| ≤ |A| ≤ |B|/t, so a block pair is feasible only when
+    t·lo_b ≤ hi_a ∧ t·lo_a ≤ hi_b — necessary, never drops a true pair).
+    Each surviving pair runs one float32 GEMM (exact: counts ≤ V < 2^24);
+    candidate emission uses a conservative threshold−1e-6 prefilter and the
+    FINAL filter is the same JVM round(·,6) ≥ t expression as before, so
+    rounding semantics are bit-identical to the count-join/oracle."""
+    par = spark.sparkContext.defaultParallelism
+    nv = len(vocab)
+    gid = {g: i for i, g in enumerate(vocab)}
+    bgid = spark.sparkContext.broadcast(gid)
+    t = float(threshold)
+
+    # rank → block id on the narrow (doc_id, n_grams) projection; the window
+    # runs on one partition of ~n_docs skinny rows (bounded, no payload)
+    meta = sh.select("doc_id", F.size("grams").alias("n_grams"))
+    w = Window.orderBy("n_grams", "doc_id")
+    blocks = meta.select(
+        "doc_id",
+        ((F.row_number().over(w) - 1) / F.lit(DENSE_BLOCK_DOCS))
+        .cast("int")
+        .alias("blk"),
+    )
+    docs_b = sh.join(F.broadcast(blocks), "doc_id")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        g2i = bgid.value
+        nd = len(pdf)
+        m = np.zeros((nd, nv), dtype=bool)
+        ns = np.empty(nd, dtype=np.int32)
+        for r, grams in enumerate(pdf["grams"]):
+            idx = [g2i[g] for g in grams]
+            m[r, idx] = True
+            ns[r] = len(idx)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [pdf["doc_id"].to_numpy(np.int64)],
+                "ns": [ns],
+                "lo": [int(ns.min())],
+                "hi": [int(ns.max())],
+                "bits": [np.packbits(m, axis=1).tobytes()],
+            }
+        )
+
+    packed = docs_b.groupBy("blk").applyInPandas(
+        pack, "blk int, ids array<long>, ns array<int>, lo int, hi int, bits binary"
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("ns").alias("ns_a"), F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"), F.col("bits").alias("bits_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("ns").alias("ns_b"), F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"), F.col("bits").alias("bits_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk_a") <= F.col("blk_b"))
+        & (F.col("lo_b") * t <= F.col("hi_a"))
+        & (F.col("lo_a") * t <= F.col("hi_b")),
+    ).repartition(2 * par)
+
+    emit_t = t - 1e-6  # conservative: round(x, 6) ≥ t ⇒ x ≥ t − 5e-7
+
+    def gemm(it):
+        for pdf in it:
+            out_a, out_b, out_i, out_na, out_nb = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.unpackbits(
+                    np.frombuffer(row.bits_a, dtype=np.uint8).reshape(len(ids_a), -1),
+                    axis=1, count=nv,
+                ).astype(np.float32)
+                B = (
+                    A
+                    if row.blk_a == row.blk_b
+                    else np.unpackbits(
+                        np.frombuffer(row.bits_b, dtype=np.uint8).reshape(
+                            len(ids_b), -1
+                        ),
+                        axis=1, count=nv,
+                    ).astype(np.float32)
+                )
+                inter = np.rint(A @ B.T).astype(np.int64)
+                na = np.asarray(row.ns_a, dtype=np.int64)
+                nb = np.asarray(row.ns_b, dtype=np.int64)
+                union = na[:, None] + nb[None, :] - inter
+                jac = inter / np.maximum(union, 1)
+                mask = jac >= emit_t
+                if row.blk_a == row.blk_b:
+                    mask &= np.triu(np.ones_like(mask, dtype=bool), k=1)
+                if not mask.any():
+                    continue
+                r, c = np.nonzero(mask)
+                ia, ib = ids_a[r], ids_b[c]
+                lo = np.minimum(ia, ib)
+                out_a.append(lo)
+                out_b.append(np.maximum(ia, ib))
+                out_i.append(inter[r, c])
+                out_na.append(np.where(ia == lo, na[r], nb[c]).astype(np.int32))
+                out_nb.append(np.where(ia == lo, nb[c], na[r]).astype(np.int32))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "inter": np.concatenate(out_i),
+                        "na": np.concatenate(out_na),
+                        "nb": np.concatenate(out_nb),
+                    }
+                )
+
+    cand = pairs.mapInPandas(
+        gemm, "id_a long, id_b long, inter long, na int, nb int"
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _jaccard_countjoin(sh: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index count-join with the LENGTH FILTER fused into the join
+    condition (J ≥ t requires t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so
+    |B| ≥ t·|A| and vice versa — pairs failing it never enter the pair-count
+    aggregation). Intersection counts come from the groupBy over
+    co-postings, which Spark partial-aggregates map-side. The right exact
+    strategy when no shingle is hot; in the dense regime its co-posting
+    stream is quadratic (see dedup_ngram_jaccard)."""
     posts = sh.select(
         "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
     )
@@ -246,12 +455,23 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (16 bands × 4 rows),
     equality-join on (band, band_key), verify candidates with estimated
-    Jaccard = fraction of agreeing signature components ≥ threshold."""
-    sigs = _minhash_sig_df(spark, sf_dir)
+    Jaccard = fraction of agreeing signature components ≥ threshold.
+
+    r06 shape (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    the band self-join and the pair dedup run over NARROW (doc_id, band,
+    band_key) rows — the 64×8-byte signatures never enter the join or the
+    dedup exchange. The former plan carried sig_a+sig_b (~1.1 KB/row)
+    through the candidate join AND a SortAggregate dedup (arrays force
+    sort-based aggregation), which at sf1.0 sorted multi-GB of candidate
+    rows (25-72 s, 2.8× run spread). Signatures are re-attached afterwards
+    by two broadcast joins against the same signature subtree; the explicit
+    repartition on doc_id is the ReusedExchange anchor, so signatures are
+    computed once, and the dedup is a narrow HashAggregate."""
+    par = spark.sparkContext.defaultParallelism
+    sigs = _minhash_sig_df(spark, sf_dir).repartition(par, "doc_id")
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
@@ -265,7 +485,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band", "band_key"),
-    ).select("doc_id", "sig", "band", "band_key")
+    ).select("doc_id", "band", "band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -278,16 +498,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
     ) / F.lit(MINHASH_K)
     return (
-        cand.select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
+        cand.join(F.broadcast(sig_a), "id_a")
+        .join(F.broadcast(sig_b), "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= JACCARD_T)
         .orderBy("id_a", "id_b")
     )
@@ -332,9 +554,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "simhash": sims.view(np.int64)}
             )
 
+    # spread the raw rows BEFORE the tokenize+crc projection (single-row-
+    # group scan, guide §2.5) so the regex/crc work runs on all cores; the
+    # projection stays above the exchange and feeds mapInPandas directly
     sims = (
-        d.select("doc_id", tok_crcs.alias("crcs"))
+        d.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tok_crcs.alias("crcs"))
         .mapInPandas(sim_batches, "doc_id long, simhash long")
     )
     bands = sims.select(

@@ -34,7 +34,15 @@ IVF_NPROBE = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """Embeddings, spread across the cluster: the parquet is a single row
+    group, so without the repartition the per-vector cosine expressions of
+    every consumer run inside the one scan task (guide §2.5). All consumers
+    rank/sort afterwards, so results are unchanged."""
+    par = spark.sparkContext.defaultParallelism
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(par, "vec_id")
+    )
 
 
 def _queries(e: DataFrame) -> DataFrame:

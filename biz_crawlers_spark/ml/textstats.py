@@ -17,7 +17,16 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The documents table, spread across the cluster: the parquet is one
+    row group, so an unspread scan runs every downstream regex in a single
+    task (guide §2.5 input skew — repartition immediately after the read).
+    The ~15 MB exchange is paid back ~30× by parallel regex evaluation;
+    every consumer here ends in an orderBy, so results are unchanged."""
+    par = spark.sparkContext.defaultParallelism
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(par, "doc_id")
+    )
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode heap: the ONE JVM hosts all `cores` concurrent tasks'
+        # execution memory, so size it to the box, not to a driver's share —
+        # 8g/32 tasks left ~150 MB of execution memory per task and forced
+        # sort/aggregate spill on the wide queries (guide §5). 48g on the
+        # 128 GiB sandbox leaves room for 32 Python workers + OS cache; on a
+        # cluster the submitter supplies driver/executor memory explicitly
+        # and this knob is irrelevant (env-overridable either way).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # zstd beats snappy on BOTH wall time and size for this workload
