@@ -62,13 +62,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash: every doc mapped to the
     canonical (min doc_id) member of its content group."""
     # spread the single-row-group scan before the md5/regex projection so
-    # the hashing runs on all cores, not in the one scan task (guide §2.5)
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _docs(spark, sf_dir)
-        .repartition(par, "doc_id")
-        .select("doc_id", F.md5(_norm_text()).alias("content_fp"))
-    )
+    # the hashing runs on all cores, not in the one scan task (guide §2.5).
+    # Size-adaptive: at small inputs the extra exchange costs more than the
+    # single-task hashing it parallelizes (A/B sf1.0: 2.43→2.08 s WITH the
+    # spread; sf0.1: 0.80→1.19 s AGAINST it), so spread only when the file
+    # is big enough for the row-group bottleneck to bite.
+    d = _docs(spark, sf_dir)
+    import os as _os
+
+    try:
+        _big = _os.path.getsize(f"{sf_dir}/documents.parquet") >= 4_000_000
+    except OSError:
+        _big = True  # non-local store: assume big (the scale case)
+    if _big:
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = d.select("doc_id", F.md5(_norm_text()).alias("content_fp"))
     canon = d.groupBy("content_fp").agg(F.min("doc_id").alias("canonical_id"))
     return (
         d.join(canon, "content_fp")
@@ -457,21 +465,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality-join on (band, band_key), verify candidates with estimated
     Jaccard = fraction of agreeing signature components ≥ threshold.
 
-    r06 shape (guide §2.3 "shuffle keys and metadata instead of payloads"):
-    the band self-join and the pair dedup run over NARROW (doc_id, band,
-    band_key) rows — the 64×8-byte signatures never enter the join or the
-    dedup exchange. The former plan carried sig_a+sig_b (~1.1 KB/row)
-    through the candidate join AND a SortAggregate dedup (arrays force
-    sort-based aggregation), which at sf1.0 sorted multi-GB of candidate
-    rows (25-72 s, 2.8× run spread). Signatures are re-attached afterwards
-    by two broadcast joins against the same signature subtree; the explicit
-    repartition on doc_id is the ReusedExchange anchor, so signatures are
-    computed once, and the dedup is a narrow HashAggregate."""
+    r06 shape (guide §8: verify with vectorized batch work, never per-row
+    interpreted expressions). The former plan self-joined the band table,
+    deduped ~6.5M candidate pairs at sf1.0, broadcast-joined both signatures
+    back and evaluated the agreement expression per pair — higher-order
+    functions (and 64-term getItem chains) run OUTSIDE whole-stage codegen,
+    and thread dumps showed 29/32 executor threads in interpreted
+    ZipWith/ArrayFilter eval inside the join's bound condition (25-77 s,
+    wildly bimodal). Now the signatures shuffle ONCE, partitioned by
+    (band, band_key); a single mapInPandas walks each partition's buckets
+    and computes every within-bucket pair's agreement count as one numpy
+    comparison — ~6.5M pairs × 64 lanes is ~1 s of vectorized work. Only
+    pairs passing a conservative prefilter (count ≥ 64·(t−1e-6)) are
+    emitted, so the dedup exchange and the final EXACT round(·,6) ≥ t
+    filter (the same JVM expression as before — values bit-identical) see
+    a few thousand rows instead of millions."""
     par = spark.sparkContext.defaultParallelism
-    sigs = _minhash_sig_df(spark, sf_dir).repartition(par, "doc_id")
+    sigs = _minhash_sig_df(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = sigs.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
@@ -485,30 +499,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band", "band_key"),
-    ).select("doc_id", "band", "band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
-    ) / F.lit(MINHASH_K)
+    buckets = bands.repartition(par, "band", "band_key").sortWithinPartitions(
+        "band", "band_key", "doc_id"
+    )
+    cut = int(np.ceil(MINHASH_K * (JACCARD_T - 1e-6)))
+
+    def verify(it):
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        S = np.array(pdf["sig"].tolist(), dtype=np.int64)
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        bn = pdf["band"].to_numpy()
+        bk = pdf["band_key"].to_numpy()
+        new = np.ones(len(pdf), dtype=bool)
+        new[1:] = (bn[1:] != bn[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(pdf)))
+        out_a, out_b, out_c = [], [], []
+        CHUNK = 2048  # bound per-step pair memory (≤CHUNK² pairs ≈ 4M×80B)
+
+        def _emit(o, iu, ju, Sg):
+            cnt = (Sg[iu] == Sg[ju]).sum(axis=1)
+            m = cnt >= cut
+            if m.any():
+                # rows are sorted by doc_id within the bucket, so iu < ju
+                # implies ids[o+iu] < ids[o+ju]
+                out_a.append(ids[o + iu[m]])
+                out_b.append(ids[o + ju[m]])
+                out_c.append(cnt[m].astype(np.int32))
+
+        for gi in np.flatnonzero(sizes >= 2):
+            o, d = starts[gi], sizes[gi]
+            Sg = S[o : o + d]
+            if d <= CHUNK:  # the overwhelmingly common case: one triu pass
+                iu, ju = np.triu_indices(d, k=1)
+                _emit(o, iu, ju, Sg)
+                continue
+            for i0 in range(0, d, CHUNK):  # giant bucket: chunk both ends
+                i1 = min(i0 + CHUNK, d)
+                iu, ju = np.triu_indices(i1 - i0, k=1)
+                _emit(o, iu + i0, ju + i0, Sg)
+                for j0 in range(i1, d, CHUNK):
+                    j1 = min(j0 + CHUNK, d)
+                    ci, cj = np.meshgrid(
+                        np.arange(i0, i1), np.arange(j0, j1), indexing="ij"
+                    )
+                    _emit(o, ci.ravel(), cj.ravel(), Sg)
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "n_agree": np.concatenate(out_c),
+                }
+            )
+
+    ver = buckets.mapInPandas(verify, "id_a long, id_b long, n_agree int")
+    est = F.col("n_agree") / F.lit(MINHASH_K)
     return (
-        cand.join(F.broadcast(sig_a), "id_a")
-        .join(F.broadcast(sig_b), "id_b")
+        ver.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= JACCARD_T)
         .orderBy("id_a", "id_b")
@@ -562,6 +614,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", tok_crcs.alias("crcs"))
         .mapInPandas(sim_batches, "doc_id long, simhash long")
+        # ReusedExchange anchor: the band self-join below otherwise
+        # re-computes the whole tokenize+crc+mapInPandas pipeline once per
+        # join side; behind this narrow (16 B/row) exchange it runs once
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     bands = sims.select(
         "doc_id",

@@ -606,12 +606,10 @@ def x1_report_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted by (doc_id, company_id) — a global deterministic order for the
     oracle compare (order within a doc is not load-bearing downstream: the
     reference unions the IDs into a seen-set)."""
-    # spread the single-row-group documents scan so the regex extraction
-    # runs on all cores instead of inside the one scan task (guide §2.5);
-    # the final orderBy fixes the output order either way
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # NOT spread (unlike the textstats/dedup documents consumers): A/B at
+    # sf1.0 measured the \d{8} extraction cheaper than the repartition
+    # exchange it would buy back (0.78 s scan-task vs 0.92 s spread)
+    d = _t(spark, sf_dir, "documents")
     id1 = F.lpad(((F.col("doc_id") * 2654435761) % 100000000).cast("string"), 8, "0")
     id2 = F.lpad(((F.col("doc_id") * 40503 + 7) % 100000000).cast("string"), 8, "0")
     body = F.concat_ws(
