@@ -48,6 +48,9 @@ DENSE_VOCAB_MAX = 16384
 # docs per bitmap block: n² GEMM work per block pair; 1024 gives ~4 GFLOP
 # per pair at V=2048 (sub-second per task) and ≥90 pairs at bench scale
 DENSE_BLOCK_DOCS = 1024
+# LSH bucket-verify pair chunk: bounds per-step pair memory to ≤CHUNK² pairs
+# (~4M×80B); module-level so the equivalence test can force the chunked path
+VERIFY_CHUNK = 2048
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +507,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band", "band_key", "doc_id"
     )
     cut = int(np.ceil(MINHASH_K * (JACCARD_T - 1e-6)))
+    # captured as a closure value so it ships to workers with the function
+    # (a module-global read would re-resolve on the worker's fresh import)
+    chunk = VERIFY_CHUNK
 
     def verify(it):
         pdfs = [p for p in it if len(p)]
@@ -519,7 +525,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, len(pdf)))
         out_a, out_b, out_c = [], [], []
-        CHUNK = 2048  # bound per-step pair memory (≤CHUNK² pairs ≈ 4M×80B)
+        CHUNK = chunk
 
         def _emit(o, iu, ju, Sg):
             cnt = (Sg[iu] == Sg[ju]).sum(axis=1)
