@@ -431,6 +431,10 @@ class CrawlEngine:
             fetched.withColumn("fetched_epoch", F.lit(epoch)),
             summary={"op": "robots", "epoch": epoch},
             dedupe=False,  # hosts are distinct by construction
+            # anti-joined against the TTL-filtered known set → (nearly) all
+            # keys are new; expired re-fetches still overlay via the
+            # matched-key discovery pass (r06: shaves the join overlay)
+            mostly_new=True,
         )
 
     # ---------- the epoch ----------
@@ -459,11 +463,23 @@ class CrawlEngine:
                 ["url_key"]
             )
 
-        # dedup: Bloom prefilter, exact anti-join only on positives (§4.1)
+        # dedup: Bloom prefilter, exact anti-join only on positives (§4.1).
+        # Empty-seen fast path (r06): on a fresh workdir's first epoch the
+        # seen set is empty, so NOTHING can be a duplicate — the Bloom probe
+        # (a shard shuffle over the whole selection) is skipped and every
+        # row is declared a negative. Identical semantics even when the
+        # Bloom carries lingering rolled-back keys: those positives would
+        # anti-join an EMPTY seen table straight back into the batch anyway
+        # (and in TTL mode _last_seen is null → not fresh → survivor).
         seen_df = self.seen.read()
-        checked = self.bloom.prefilter_spark(selected, "url_key").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        if self.seen.is_empty():
+            checked = selected.withColumn("maybe_seen", F.lit(False)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            checked = self.bloom.prefilter_spark(selected, "url_key").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         n_selected = checked.count()
         negatives = checked.filter(~F.col("maybe_seen")).drop("maybe_seen")
         positives = checked.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -80,9 +80,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _big:
         d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     d = d.select("doc_id", F.md5(_norm_text()).alias("content_fp"))
-    canon = d.groupBy("content_fp").agg(F.min("doc_id").alias("canonical_id"))
+    # canonical member via min-over-window: ONE exchange on content_fp
+    # instead of groupBy + sort-merge join back (2 exchanges + join) — A/B
+    # at sf1.0: 1.99 s → 1.01 s, outputs frame-equal (guide §2.4: two
+    # operations keyed the same way share one exchange)
+    w = Window.partitionBy("content_fp")
     return (
-        d.join(canon, "content_fp")
+        d.select("doc_id", F.min("doc_id").over(w).alias("canonical_id"))
         .select("doc_id", "canonical_id", (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"))
         .orderBy("doc_id")
     )
